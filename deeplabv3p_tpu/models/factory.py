@@ -1,0 +1,150 @@
+"""DeepLabV3+ model assembly & registry.
+
+Rebuilds the reference factory (/root/reference/deeplabv3p/model.py:23-117)
+the JAX way: a `DeeplabV3Plus` Flax module produces **logits at input
+resolution** (N, H, W, num_classes); softmax / argmax / training flatten are
+explicit functions, not graph layers (reference bakes Reshape+Softmax into
+the Keras graph at model.py:79-86).
+
+The reference's chop-at-`layers[-5]` + re-head quirk (model.py:65-76) —
+build a 21-class pretrained graph, drop its logits conv, add a fresh
+`conv_upsample` 1x1 for the real class count — is reproduced structurally:
+the final conv here is named `conv_upsample` and is the only head-count-
+dependent parameter, so pretrained checkpoints load everywhere else.
+
+Freeze levels (model.py:106-115) map to optax gradient masks built by
+`make_trainable_mask`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deeplabv3p_tpu.models.layers import ASPP, ASPPLite, Decoder, Subpixel, _conv
+from deeplabv3p_tpu.models.mobilenetv2 import MobileNetV2Body
+from deeplabv3p_tpu.ops.resize import resize_bilinear
+
+
+class DeeplabV3Plus(nn.Module):
+    """Backbone → ASPP[/Lite] → [Decoder] → 1x1 logits → bilinear upsample.
+
+    Output: logits (N, H, W, num_classes) in fp32 at input resolution.
+    """
+
+    backbone_fn: Callable[..., nn.Module]
+    num_classes: int = 21
+    output_stride: int = 16
+    lite: bool = False
+    use_subpixel: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_h, in_w = x.shape[1], x.shape[2]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        feat, skip = self.backbone_fn(
+            output_stride=self.output_stride, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+
+        if self.lite:
+            # Lite head: ASPP-Lite, no decoder (reference
+            # deeplabv3p_mobilenetv2.py:324-331).
+            feat = ASPPLite(dtype=self.dtype, name="aspp")(feat, train=train)
+        else:
+            feat = ASPP(
+                output_stride=self.output_stride, dtype=self.dtype, name="aspp"
+            )(feat, train=train)
+            feat = Decoder(dtype=self.dtype, name="decoder")(feat, skip, train=train)
+
+        if self.use_subpixel:
+            # Reference hardcodes scale 4 (xception) / 8 (model.py:68-73);
+            # we derive it from the actual feature resolution so every
+            # backbone/OS combination is shape-correct.
+            scale = in_h // feat.shape[1]
+            logits = Subpixel(
+                self.num_classes, kernel_size=1, r=scale, dtype=self.dtype,
+                name="conv_upsample",
+            )(feat)
+            logits = logits.astype(jnp.float32)
+        else:
+            logits = _conv(
+                self.num_classes, 1, use_bias=True, name="conv_upsample",
+                dtype=self.dtype,
+            )(feat)
+            # pred_resize (reference model.py:76): bilinear to input size,
+            # in fp32 for numerically stable loss/softmax.
+            logits = resize_bilinear(logits.astype(jnp.float32), (in_h, in_w))
+        return logits
+
+
+# Registry mirroring reference deeplab_model_map (model.py:23-48).
+# Each entry: (backbone factory, lite-head flag).
+DEEPLAB_MODEL_REGISTRY: dict[str, tuple[Callable[..., nn.Module], bool]] = {
+    "mobilenetv2": (partial(MobileNetV2Body, alpha=1.0), False),
+    "mobilenetv2_lite": (partial(MobileNetV2Body, alpha=1.0), True),
+}
+
+
+def register_deeplab_model(
+    name: str, backbone_fn: Callable[..., nn.Module], lite: bool
+) -> None:
+    DEEPLAB_MODEL_REGISTRY[name] = (backbone_fn, lite)
+
+
+def build_deeplab_model(
+    model_type: str,
+    num_classes: int,
+    output_stride: int = 16,
+    use_subpixel: bool = False,
+    dtype: Optional[Any] = None,
+) -> DeeplabV3Plus:
+    """Construct a DeepLabV3+ model (reference get_deeplabv3p_model,
+    model.py:51-117). Weight loading / freezing are separate concerns:
+    see deeplabv3p_tpu.utils.checkpoint and make_trainable_mask."""
+    if model_type not in DEEPLAB_MODEL_REGISTRY:
+        raise ValueError(
+            f"This model type is not supported now: {model_type!r}. "
+            f"Available: {sorted(DEEPLAB_MODEL_REGISTRY)}"
+        )
+    backbone_fn, lite = DEEPLAB_MODEL_REGISTRY[model_type]
+    return DeeplabV3Plus(
+        backbone_fn=backbone_fn,
+        num_classes=num_classes,
+        output_stride=output_stride,
+        lite=lite,
+        use_subpixel=use_subpixel,
+        dtype=dtype,
+    )
+
+
+def make_trainable_mask(params: Any, freeze_level: int) -> Any:
+    """Boolean pytree mask (True = trainable) implementing reference freeze
+    levels (model.py:106-115):
+
+    0 — train everything;
+    1 — freeze the backbone;
+    2 — freeze everything except the prediction head (`conv_upsample`).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def trainable(path) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if freeze_level == 0:
+            return True
+        if freeze_level == 1:
+            return "backbone" not in keys
+        if freeze_level == 2:
+            return "conv_upsample" in keys
+        raise ValueError(f"invalid freeze_level {freeze_level}")
+
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [trainable(path) for path, _ in flat]
+    )

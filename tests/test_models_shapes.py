@@ -1,0 +1,99 @@
+"""Shape & output-stride tests for the DeepLab model zoo.
+
+Validates the OS→(stride, dilation) machinery produces the feature-map
+resolutions documented in SURVEY.md §3.4 and that logits come back at input
+resolution for every registered model type.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeplabv3p_tpu.models.factory import (
+    DEEPLAB_MODEL_REGISTRY,
+    build_deeplab_model,
+)
+from deeplabv3p_tpu.models.mobilenetv2 import MobileNetV2Body, make_divisible
+
+INPUT = 64  # small, CPU-friendly; divisible by 32
+
+
+def test_make_divisible():
+    # reference deeplabv3p_mobilenetv2.py:28-35 semantics
+    assert make_divisible(32 * 1.0, 8) == 32
+    assert make_divisible(32 * 0.35, 8) == 16
+    assert make_divisible(10, 8) == 16  # 8 < 0.9*10 -> bumped
+
+
+@pytest.mark.parametrize("output_stride", [8, 16, 32])
+def test_mobilenetv2_body_output_stride(output_stride):
+    body = MobileNetV2Body(output_stride=output_stride)
+    x = jnp.zeros((1, INPUT, INPUT, 3), jnp.float32)
+    vars_ = body.init(jax.random.PRNGKey(0), x)
+    feat, skip = body.apply(vars_, x)
+    assert feat.shape[1] == INPUT // output_stride
+    assert feat.shape[2] == INPUT // output_stride
+    assert feat.shape[3] == 320
+    # skip feature is OS4 (reference deeplabv3p_mobilenetv2.py:116-117)
+    assert skip.shape[1] == INPUT // 4
+    assert skip.shape[3] == 24
+
+
+@pytest.mark.parametrize("model_type", sorted(DEEPLAB_MODEL_REGISTRY))
+def test_deeplab_logits_shape(model_type):
+    num_classes = 7
+    model = build_deeplab_model(model_type, num_classes, output_stride=16)
+    x = jnp.zeros((2, INPUT, INPUT, 3), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(vars_, x)
+    assert logits.shape == (2, INPUT, INPUT, num_classes)
+    assert logits.dtype == jnp.float32
+
+
+def test_deeplab_train_mode_updates_batch_stats():
+    model = build_deeplab_model("mobilenetv2_lite", 5, output_stride=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, INPUT, INPUT, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    logits, updates = model.apply(
+        vars_, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert logits.shape == (2, INPUT, INPUT, 5)
+    # batch stats must actually move
+    old = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(
+        not jnp.allclose(o, n) for o, n in zip(old, new)
+    ), "train=True must update running statistics"
+
+
+def test_subpixel_head_shape():
+    model = build_deeplab_model(
+        "mobilenetv2_lite", 3, output_stride=16, use_subpixel=True
+    )
+    x = jnp.zeros((1, INPUT, INPUT, 3), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(vars_, x)
+    assert logits.shape == (1, INPUT, INPUT, 3)
+
+
+def test_freeze_mask_levels():
+    from deeplabv3p_tpu.models.factory import make_trainable_mask
+
+    model = build_deeplab_model("mobilenetv2_lite", 3)
+    x = jnp.zeros((1, INPUT, INPUT, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    m0 = make_trainable_mask(params, 0)
+    assert all(jax.tree_util.tree_leaves(m0))
+
+    m1 = make_trainable_mask(params, 1)
+    assert not any(jax.tree_util.tree_leaves(m1["backbone"]))
+    assert all(jax.tree_util.tree_leaves(m1["conv_upsample"]))
+    assert all(jax.tree_util.tree_leaves(m1["aspp"]))
+
+    m2 = make_trainable_mask(params, 2)
+    assert not any(jax.tree_util.tree_leaves(m2["backbone"]))
+    assert not any(jax.tree_util.tree_leaves(m2["aspp"]))
+    assert all(jax.tree_util.tree_leaves(m2["conv_upsample"]))
