@@ -1,0 +1,133 @@
+"""Segmentation metrics, fully on-device.
+
+Two families, both ported from the reference with identical math:
+
+* the per-batch streaming `jaccard` training metric
+  (/root/reference/deeplabv3p/metrics.py:30-45) — note its quirks are
+  preserved: it iterates classes 0..num_classes (inclusive, so one class
+  index beyond the logits), only averages over batch elements where the
+  class appears in ground truth, and drops NaN class entries;
+* the confusion-matrix evaluation suite
+  (/root/reference/eval.py:368-506): bincount-trick matrix accumulation and
+  PixelAcc / mClassAcc / IoU / mIoU / FWIoU / Dice derivation.
+
+The confusion matrix is computed on device (one-hot matmul free: bincount
+of num_classes * gt + pred) and accumulated in a streaming fashion across
+eval batches; only the final (C, C) matrix ever reaches the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def jaccard(y_true: jax.Array, y_pred_logits: jax.Array) -> jax.Array:
+    """Streaming mean-IOU training metric (reference metrics.py:30-45).
+
+    y_true: (N, ...) integer labels; y_pred_logits: (N, ..., C).
+    Flattens spatial dims; for each class i in 0..C (inclusive — the
+    reference's off-by-one is intentional behaviourally): per-sample
+    IoU, averaged over samples whose GT contains the class, then averaged
+    over classes that produced a non-NaN value.
+    """
+    num_classes = y_pred_logits.shape[-1]
+    n = y_true.shape[0]
+    labels = y_true.reshape(n, -1).astype(jnp.int32)
+    preds = jnp.argmax(y_pred_logits, axis=-1).reshape(n, -1).astype(jnp.int32)
+
+    def class_iou(i):
+        t = labels == i
+        p = preds == i
+        inter = jnp.sum(jnp.logical_and(t, p), axis=1).astype(jnp.float32)
+        union = jnp.sum(jnp.logical_or(t, p), axis=1).astype(jnp.float32)
+        legal = jnp.sum(t, axis=1) > 0  # class present in GT for this sample
+        ious = inter / union  # NaN where union == 0
+        legal_f = legal.astype(jnp.float32)
+        # mean over legal batch entries; NaN if none legal (then dropped)
+        s = jnp.sum(jnp.where(legal, jnp.nan_to_num(ious), 0.0))
+        cnt = jnp.sum(legal_f)
+        return s / cnt  # NaN when cnt == 0
+
+    iou = jnp.stack([class_iou(i) for i in range(num_classes + 1)])
+    valid = ~jnp.isnan(iou)
+    return jnp.sum(jnp.where(valid, iou, 0.0)) / jnp.sum(valid.astype(jnp.float32))
+
+
+def confusion_matrix(
+    gt_mask: jax.Array, pred_mask: jax.Array, num_classes: int
+) -> jax.Array:
+    """Per-batch confusion matrix via the bincount trick
+    (reference generate_matrix, eval.py:368-373). Labels outside
+    [0, num_classes) — e.g. ignore_index 255 — are excluded."""
+    gt = gt_mask.reshape(-1).astype(jnp.int32)
+    pred = pred_mask.reshape(-1).astype(jnp.int32)
+    valid = (gt >= 0) & (gt < num_classes)
+    idx = num_classes * gt + pred
+    idx = jnp.where(valid, idx, num_classes * num_classes)  # spill bucket
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+    return counts[:-1].reshape(num_classes, num_classes)
+
+
+class SegmentMetrics(NamedTuple):
+    pixel_acc: float
+    mean_class_acc: float
+    miou: float
+    fwiou: float
+    class_acc: np.ndarray
+    iou: np.ndarray
+    dice: np.ndarray
+    freq: np.ndarray
+
+
+def segment_metrics_from_confusion(cm: np.ndarray) -> SegmentMetrics:
+    """Derive the eval metric suite from a confusion matrix, matching
+    reference eval.py:461-506 (including its NaN→0 handling and the fact
+    that mIoU is the plain mean over all classes after NaN→0)."""
+    cm = np.asarray(cm, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pixel_acc = np.diag(cm).sum() / cm.sum()
+
+        class_acc = np.diag(cm) / cm.sum(axis=1)
+        class_acc[np.isnan(class_acc)] = 0
+        mean_class_acc = np.nanmean(class_acc)
+
+        inter = np.diag(cm)
+        union = cm.sum(axis=0) + cm.sum(axis=1) - inter
+        iou = inter / union
+        iou[np.isnan(iou)] = 0
+
+        freq = cm.sum(axis=1) / cm.sum()
+        freq[np.isnan(freq)] = 0
+        fwiou = (freq[freq > 0] * iou[freq > 0]).sum()
+
+        dice = 2 * inter / (union + inter)
+        dice[np.isnan(dice)] = 0
+
+        miou = np.nanmean(iou)
+
+    return SegmentMetrics(
+        pixel_acc=float(pixel_acc),
+        mean_class_acc=float(mean_class_acc),
+        miou=float(miou),
+        fwiou=float(fwiou),
+        class_acc=class_acc,
+        iou=iou,
+        dice=dice,
+        freq=freq,
+    )
+
+
+def mIOU_numpy(gt: np.ndarray, preds: np.ndarray) -> float:
+    """Single-pair mIOU over the labels present in gt
+    (reference metrics.py:10-17)."""
+    ulabels = np.unique(gt)
+    iou = np.zeros(len(ulabels))
+    for k, u in enumerate(ulabels):
+        inter = ((gt == u) & (preds == u)).sum()
+        union = ((gt == u) | (preds == u)).sum()
+        iou[k] = inter / union
+    return float(np.round(iou.mean(), 2))

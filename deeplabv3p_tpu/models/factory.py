@@ -44,24 +44,39 @@ class DeeplabV3Plus(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, freeze_level: int = 0
+    ) -> jax.Array:
+        """Forward pass.
+
+        freeze_level mirrors Keras `trainable=False` semantics during the
+        reference's two-stage transfer training (train.py:172-187): frozen
+        layers' BatchNorms run in *inference* mode (use running stats, do
+        not update them), exactly like TF2 BN with trainable=False.
+        freeze_level 1 freezes the backbone; 2 freezes all but the head.
+        """
         in_h, in_w = x.shape[1], x.shape[2]
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        backbone_train = train and freeze_level < 1
+        head_train = train and freeze_level < 2
+
         feat, skip = self.backbone_fn(
             output_stride=self.output_stride, dtype=self.dtype, name="backbone"
-        )(x, train=train)
+        )(x, train=backbone_train)
 
         if self.lite:
             # Lite head: ASPP-Lite, no decoder (reference
             # deeplabv3p_mobilenetv2.py:324-331).
-            feat = ASPPLite(dtype=self.dtype, name="aspp")(feat, train=train)
+            feat = ASPPLite(dtype=self.dtype, name="aspp")(feat, train=head_train)
         else:
             feat = ASPP(
                 output_stride=self.output_stride, dtype=self.dtype, name="aspp"
-            )(feat, train=train)
-            feat = Decoder(dtype=self.dtype, name="decoder")(feat, skip, train=train)
+            )(feat, train=head_train)
+            feat = Decoder(dtype=self.dtype, name="decoder")(
+                feat, skip, train=head_train
+            )
 
         if self.use_subpixel:
             # Reference hardcodes scale 4 (xception) / 8 (model.py:68-73);
