@@ -1,0 +1,185 @@
+"""Host-side dataset: decode + resize + prefetch, feeding the device graph.
+
+Replaces the reference's `SegmentationGenerator` keras Sequence
+(/root/reference/deeplabv3p/data.py:14-160). Layout convention is
+identical: `<dataset>/images/<id>.jpg` + `<dataset>/labels/<id>.png`
+(data.py:25-26). The reference decodes, augments (12 PIL/cv2 ops), and
+computes sklearn class weights per image in a single Python thread —
+the pipeline hot spot (SURVEY.md §3.1). Here the host only:
+
+1. decodes (PIL),
+2. optionally applies CLAHE histogram equalization (the one reference op
+   whose data-dependent histograms don't map well to TPU; reference
+   data_utils.py:127-149, prob 0.2 — note the reference applies it after
+   random_crop, we apply it at decode time: photometrically equivalent up
+   to crop boundaries),
+3. resizes to the model input shape (bilinear image / nearest label,
+   reference data.py:110-111),
+
+in a thread pool with double-buffered prefetch; everything else
+(flips/warps/GridMask/photometric/normalize/adaptive weights) runs on
+device in `deeplabv3p_tpu.data.augment.augment_batch`.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the image
+    cv2 = None
+
+from PIL import Image
+
+
+def _apply_clahe(image: np.ndarray, grid_size: int = 8) -> np.ndarray:
+    """CLAHE on the luma plane (reference random_histeq,
+    data_utils.py:127-149 — including its RGB-array-through-BGR2YUV
+    channel convention, kept bug-for-bug)."""
+    if cv2 is None:
+        return image
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(grid_size, grid_size))
+    img_yuv = cv2.cvtColor(image, cv2.COLOR_BGR2YUV)
+    img_yuv[:, :, 0] = clahe.apply(img_yuv[:, :, 0])
+    return cv2.cvtColor(img_yuv, cv2.COLOR_YUV2BGR)
+
+
+def _resize_pair(
+    image: np.ndarray, label: np.ndarray, input_shape: tuple[int, int]
+) -> tuple[np.ndarray, np.ndarray]:
+    h, w = input_shape
+    if cv2 is not None:
+        image = cv2.resize(image, (w, h))  # INTER_LINEAR (data.py:110)
+        label = cv2.resize(label, (w, h), interpolation=cv2.INTER_NEAREST)
+    else:
+        image = np.asarray(
+            Image.fromarray(image).resize((w, h), Image.BILINEAR)
+        )
+        label = np.asarray(
+            Image.fromarray(label).resize((w, h), Image.NEAREST)
+        )
+    return image, label
+
+
+class SegmentationDataset:
+    """File-list dataset with threaded decode and batch prefetch."""
+
+    def __init__(
+        self,
+        dataset_path: str,
+        data_list: list[str],
+        batch_size: int = 1,
+        num_classes: int = 21,
+        input_shape: tuple[int, int] = (512, 512),
+        ignore_index: int = 255,
+        augment: bool = True,
+        histeq_prob: float = 0.2,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+    ):
+        dataset_realpath = os.path.realpath(dataset_path)
+        self.image_paths = [
+            os.path.join(dataset_realpath, "images", i.strip() + ".jpg")
+            for i in data_list
+        ]
+        self.label_paths = [
+            os.path.join(dataset_realpath, "labels", i.strip() + ".png")
+            for i in data_list
+        ]
+        self.batch_size = batch_size
+        self.num_classes = num_classes
+        self.input_shape = tuple(input_shape)
+        self.ignore_index = ignore_index
+        self.augment = augment
+        self.histeq_prob = histeq_prob
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self._rng = np.random.RandomState(seed)
+        self._order = np.arange(len(self.image_paths))
+
+    def __len__(self) -> int:
+        return len(self.image_paths) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.image_paths)
+
+    def _load_sample(self, idx: int):
+        img = Image.open(self.image_paths[idx]).convert("RGB")
+        lbl = Image.open(self.label_paths[idx])
+        image = np.array(img, dtype=np.uint8)
+        label = np.array(lbl)
+        if label.ndim == 3:  # color label PNGs: take first channel
+            label = label[..., 0]
+        label = label.astype(np.uint8)
+        orig_hw = np.array(image.shape[:2], np.float32)
+
+        if self.augment and self._rng.rand() < self.histeq_prob:
+            image = _apply_clahe(image)
+
+        image, label = _resize_pair(image, label, self.input_shape)
+        return image, label, orig_hw
+
+    def _make_batch(self, indices: np.ndarray, pool: cf.Executor):
+        samples = list(pool.map(self._load_sample, indices))
+        images = np.stack([s[0] for s in samples])
+        labels = np.stack([s[1] for s in samples])
+        orig_hw = np.stack([s[2] for s in samples])
+        return images, labels, orig_hw
+
+    def epoch_batches(
+        self, prefetch: int = 2
+    ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (images u8 (B,H,W,3), labels u8 (B,H,W), orig_hw (B,2))
+        with background prefetch. Shuffles at epoch start (reference
+        shuffles at epoch end, data.py:156-160 — same distribution)."""
+        order = self._order.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if not _put(self._make_batch(idx, pool)):
+                        return
+            _put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def batch_image_paths(self, batch_index: int) -> list[str]:
+        """Paths for a (non-shuffled) batch — reference
+        get_batch_image_path (data.py:43-44), used by eval result dumps."""
+        i = batch_index
+        return self.image_paths[i * self.batch_size : (i + 1) * self.batch_size]

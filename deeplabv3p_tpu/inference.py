@@ -1,0 +1,150 @@
+"""Single-image / video inference API (reference DeepLab class,
+/root/reference/deeplab.py:43-185).
+
+TPU-native split: the model emits logits; a single jitted `predict` program
+does softmax+argmax on device (the reference argmaxes in numpy on host,
+deeplab.py:99). Optional CRF refinement uses the TPU mean-field kernel
+(deeplabv3p_tpu.postprocess). Host work is only decode, bicubic resize
+(PIL, matching preprocess_image data_utils.py:436-454), and PNG/plot IO.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from deeplabv3p_tpu.models.factory import build_deeplab_model
+from deeplabv3p_tpu.postprocess import crf_postprocess, mask_resize
+from deeplabv3p_tpu.utils.config import get_classes
+from deeplabv3p_tpu.utils.checkpoint import load_variables
+from deeplabv3p_tpu.utils.visualize import visualize_segmentation
+
+DEFAULT_CONFIG = {
+    # reference default_config (deeplab.py:31-40)
+    "model_type": "mobilenetv2_lite",
+    "classes_path": None,
+    "class_names": None,
+    "model_input_shape": (512, 512),
+    "output_stride": 16,
+    "weights_path": None,
+    "do_crf": False,
+}
+
+
+def preprocess_image(image: Image.Image, model_input_shape) -> np.ndarray:
+    """PIL bicubic resize + [-1, 1] normalize + batch dim (reference
+    common/data_utils.py:436-454)."""
+    resized = image.resize(tuple(reversed(model_input_shape)), Image.BICUBIC)
+    data = np.asarray(resized).astype("float32") / 127.5 - 1.0
+    return np.expand_dims(data, 0)
+
+
+def denormalize_image(image: np.ndarray) -> np.ndarray:
+    return (image * 127.5 + 127.5).astype(np.uint8)
+
+
+class DeepLab:
+    """Inference wrapper. Overridable defaults like the reference
+    (`DeepLab(**overrides)`, deeplab.py:53-58)."""
+
+    def __init__(self, **kwargs):
+        self.__dict__.update(DEFAULT_CONFIG)
+        self.__dict__.update(kwargs)
+        if self.class_names is None:
+            if self.classes_path is None:
+                raise ValueError("need class_names or classes_path")
+            self.class_names = get_classes(self.classes_path)
+        assert len(self.class_names) < 254, (
+            "PNG image label only support less than 254 classes."
+        )
+        self.num_classes = len(self.class_names)
+        self.model = build_deeplab_model(
+            self.model_type,
+            self.num_classes,
+            output_stride=self.output_stride,
+            dtype=jnp.bfloat16,
+        )
+        if self.weights_path:
+            self.variables = load_variables(os.path.expanduser(self.weights_path))
+        else:  # random init (smoke/demo use)
+            x = jnp.zeros((1, *self.model_input_shape, 3), jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(0), x)
+        self._predict = jax.jit(self._predict_impl)
+
+    def _predict_impl(self, images: jax.Array) -> jax.Array:
+        logits = self.model.apply(self.variables, images, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def predict(self, image_data: np.ndarray, image_shape) -> np.ndarray:
+        """image_data: (1, H, W, 3) normalized; image_shape: origin (h, w).
+        Mirrors reference DeepLab.predict (deeplab.py:96-109)."""
+        mask = np.asarray(self._predict(jnp.asarray(image_data)))[0]
+        if self.do_crf:
+            image = denormalize_image(image_data[0])
+            mask = crf_postprocess(image, mask)
+        mask = np.asarray(mask_resize(jnp.asarray(mask), tuple(image_shape)))
+        return mask
+
+    def segment_image(self, image: Image.Image) -> Image.Image:
+        """Segment a PIL image, return the overlay visualization
+        (reference deeplab.py:81-93)."""
+        image_data = preprocess_image(image, self.model_input_shape)
+        image_shape = tuple(reversed(image.size))  # (h, w)
+        start = time.time()
+        out_mask = self.predict(image_data, image_shape)
+        print(f"Inference time: {time.time() - start:.8f}s")
+        image_array = visualize_segmentation(
+            np.array(image), out_mask, class_names=self.class_names
+        )
+        return Image.fromarray(image_array)
+
+    def segment_video(
+        self, video_path: str, output_path: Optional[str] = None
+    ) -> None:
+        """Per-frame video segmentation with FPS overlay (reference
+        segment_video, deeplab.py:123-172)."""
+        import cv2
+
+        vid = cv2.VideoCapture(0 if video_path == "0" else video_path)
+        if not vid.isOpened():
+            raise IOError("Couldn't open webcam or video")
+        out = None
+        if output_path:
+            fourcc = int(vid.get(cv2.CAP_PROP_FOURCC))
+            fps = vid.get(cv2.CAP_PROP_FPS)
+            size = (
+                int(vid.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(vid.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            )
+            out = cv2.VideoWriter(output_path, fourcc, fps, size)
+        accum_time, curr_fps, fps_txt = 0.0, 0, "FPS: ??"
+        prev = time.time()
+        while True:
+            ok, frame = vid.read()
+            if not ok:
+                break
+            image = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            result = np.asarray(self.segment_image(image))
+            now = time.time()
+            accum_time += now - prev
+            prev = now
+            curr_fps += 1
+            if accum_time > 1:
+                accum_time -= 1
+                fps_txt, curr_fps = f"FPS: {curr_fps}", 0
+            result = cv2.cvtColor(result, cv2.COLOR_RGB2BGR)
+            cv2.putText(
+                result, fps_txt, (3, 15), cv2.FONT_HERSHEY_SIMPLEX,
+                0.50, (255, 0, 0), 2,
+            )
+            if out is not None:
+                out.write(result)
+        vid.release()
+        if out is not None:
+            out.release()

@@ -61,6 +61,7 @@ def get_lr_schedule(
         values = [0.001, learning_rate, learning_rate / 10.0, learning_rate / 100.0]
 
         def schedule(count):
+            count = jnp.asarray(count)
             idx = (
                 (count >= boundaries[0]).astype(jnp.int32)
                 + (count >= boundaries[1]).astype(jnp.int32)
@@ -108,10 +109,11 @@ def build_optimizer(
 
 
 class AverageState(NamedTuple):
-    """Weight-averaging state (EMA / SWA / Lookahead)."""
+    """Weight-averaging state (EMA / SWA / Lookahead). The averaging mode
+    is static (compiled into the train step), NOT part of this pytree —
+    only arrays live here so the state jits cleanly."""
 
-    mode: str  # static: 'ema' | 'swa' | 'lookahead' | 'none'
-    average: Any  # averaged (or slow) params
+    average: Any  # averaged (or slow) params; None when mode == 'none'
     count: jax.Array  # SWA: number of models averaged; lookahead: unused
 
 
@@ -121,24 +123,29 @@ LOOKAHEAD_SYNC = 6  # tfa Lookahead sync_period (model_utils.py:168)
 LOOKAHEAD_STEP = 0.5  # tfa Lookahead slow_step_size
 
 
-def init_average(average_type: Optional[str], params: Any) -> AverageState:
+def normalize_average_type(average_type: Optional[str]) -> str:
     mode = (average_type or "none").lower()
     if mode not in ("none", "ema", "swa", "lookahead"):
         raise ValueError(f"Unsupported average type {average_type!r}")
+    return mode
+
+
+def init_average(average_type: Optional[str], params: Any) -> AverageState:
+    mode = normalize_average_type(average_type)
     avg = params if mode != "none" else None
-    return AverageState(mode=mode, average=avg, count=jnp.zeros((), jnp.int32))
+    return AverageState(average=avg, count=jnp.zeros((), jnp.int32))
 
 
 def apply_average(
-    state: AverageState, params: Any, step: jax.Array
+    mode: Optional[str], state: AverageState, params: Any, step: jax.Array
 ) -> tuple[AverageState, Any]:
-    """Post-optimizer-step averaging update.
+    """Post-optimizer-step averaging update; `mode` is static.
 
     Returns (new_state, params). For lookahead, params themselves are
     rewritten at sync boundaries; for EMA/SWA params pass through and the
     average lives in the state.
     """
-    mode = state.mode
+    mode = normalize_average_type(mode)
     if mode == "none":
         return state, params
 
@@ -171,10 +178,10 @@ def apply_average(
     return state._replace(average=slow), new_params
 
 
-def average_params(state: AverageState, params: Any) -> Any:
+def average_params(mode: Optional[str], state: AverageState, params: Any) -> Any:
     """Parameters to checkpoint/evaluate: the averaged weights when
     averaging is active (tfa AverageModelCheckpoint semantics,
     reference train.py:198-211), else the live params."""
-    if state.mode in ("ema", "swa"):
+    if normalize_average_type(mode) in ("ema", "swa"):
         return state.average
     return params

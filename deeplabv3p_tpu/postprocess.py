@@ -1,0 +1,202 @@
+"""Prediction post-processing: argmax, mask resize, dense-CRF refinement.
+
+The reference's CRF (/root/reference/deeplabv3p/postprocess_np.py:10-28)
+wraps pydensecrf (CPU C++, permutohedral-lattice bilateral filtering):
+unary from labels (gt_prob=0.7), pairwise Gaussian (sxy=3, compat=3) +
+bilateral (sxy=80, srgb=13, compat=10), 5 mean-field iterations.
+
+TPU-native re-design (BASELINE.json north star: "numpy dense-CRF
+postprocess rewritten as an iterative message-passing kernel"):
+
+* Gaussian pairwise term → depthwise convolution of Q with a truncated
+  spatial Gaussian (sigma 3 → 13x13 taps covers >4 sigma);
+* bilateral term → luminance-guided bilateral grid: Q is splatted into a
+  coarse (H/step, W/step, luma-bin) grid, blurred over space+luma with the
+  (sxy=80, srgb=13) sigmas, and sliced back. This is the classic
+  real-time-bilateral approximation of the permutohedral filter — exact
+  parity with pydensecrf is impossible on accelerator-friendly dense math,
+  but the mean-field fixed point behaves equivalently (tests check
+  label-noise cleanup + edge adherence);
+* Potts compatibility: message_a = sum_{b != a} (k (*) Q)_b, applied with
+  the reference's compat weights.
+
+Everything is one jitted program over static shapes; 5 iterations unroll
+into a single fused XLA computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplabv3p_tpu.ops.resize import resize_nearest
+
+
+def mask_argmax(probs_or_logits: jax.Array) -> jax.Array:
+    """(..., C) → (...) int32 predicted mask (reference deeplab.py:99)."""
+    return jnp.argmax(probs_or_logits, axis=-1).astype(jnp.int32)
+
+
+def mask_resize(mask: jax.Array, target_hw: tuple[int, int]) -> jax.Array:
+    """Nearest resize of an (H, W) mask to target size, cv2 convention
+    (reference common/data_utils.py:457-477)."""
+    return resize_nearest(mask, target_hw, convention="cv2")
+
+
+def unary_from_labels(
+    labels: jax.Array, n_labels: int, gt_prob: float = 0.7
+) -> jax.Array:
+    """Negative-log unary energies from a hard labeling, matching
+    pydensecrf.utils.unary_from_labels with zero_unsure=False
+    (reference postprocess_np.py:15)."""
+    p_energy = -np.log(gt_prob)
+    n_energy = -np.log((1.0 - gt_prob) / (n_labels - 1))
+    one_hot = jax.nn.one_hot(labels, n_labels, dtype=jnp.float32)
+    return one_hot * p_energy + (1.0 - one_hot) * n_energy
+
+
+def _gaussian_kernel2d(sigma: float, radius: int) -> np.ndarray:
+    xs = np.arange(-radius, radius + 1)
+    k1 = np.exp(-(xs**2) / (2.0 * sigma**2))
+    k2 = np.outer(k1, k1)
+    k2[radius, radius] = 0.0  # self-interaction excluded (dense CRF defn)
+    return (k2 / k2.sum()).astype(np.float32)
+
+
+def _spatial_message(q: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Per-class conv of Q (H, W, C) with the spatial kernel: classes ride
+    the batch dimension, so one (1-in, 1-out) conv covers all of them."""
+    x = q.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    k = kernel[None, None]  # (1, 1, kh, kw)
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    return y[:, 0].transpose(1, 2, 0)
+
+
+def _bilateral_grid_message(
+    q: jax.Array, luma: jax.Array, sxy: float, srgb: float,
+    space_step: int, n_bins: int,
+) -> jax.Array:
+    """Luminance-guided bilateral filtering of Q via a coarse grid.
+
+    splat → gaussian blur over (gy, gx, bin) → slice. Grid cell sizes are
+    chosen so the reference sigmas become ~2 cells, keeping the blur
+    kernels tiny.
+    """
+    h, w, c = q.shape
+    gh, gw = h // space_step + 2, w // space_step + 2
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // space_step
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // space_step
+    bins = jnp.clip(
+        (luma / (256.0 / n_bins)).astype(jnp.int32), 0, n_bins - 1
+    )
+
+    flat_idx = (ys * gw + xs) * n_bins + bins  # (h, w)
+    grid_size = gh * gw * n_bins
+
+    def splat(values):  # (h, w) -> (grid_size,)
+        return jnp.zeros((grid_size,), jnp.float32).at[flat_idx.reshape(-1)].add(
+            values.reshape(-1)
+        )
+
+    q_grid = jax.vmap(splat, in_axes=2, out_axes=1)(q)  # (grid, C)
+    w_grid = splat(jnp.ones((h, w), jnp.float32))  # (grid,)
+
+    # blur over grid: sigma in grid units
+    s_space = sxy / space_step
+    s_luma = srgb / (256.0 / n_bins)
+
+    def _shift(x, s, axis):
+        """Zero-padded (non-wrapping) shift along axis."""
+        if s == 0:
+            return x
+        pad = [(0, 0)] * x.ndim
+        n = x.shape[axis]
+        if s > 0:
+            pad[axis] = (s, 0)
+            return jax.lax.slice_in_dim(jnp.pad(x, pad), 0, n, axis=axis)
+        pad[axis] = (0, -s)
+        return jax.lax.slice_in_dim(jnp.pad(x, pad), -s, n - s, axis=axis)
+
+    def blur_axis(x, sigma, axis):
+        radius = max(1, int(np.ceil(2 * sigma)))
+        taps = np.exp(
+            -(np.arange(-radius, radius + 1) ** 2) / (2 * sigma**2)
+        ).astype(np.float32)
+        taps /= taps.sum()
+        out = jnp.zeros_like(x)
+        for i, t in enumerate(taps):
+            out = out + t * _shift(x, i - radius, axis)
+        return out
+
+    shaped_q = q_grid.reshape(gh, gw, n_bins, c)
+    shaped_w = w_grid.reshape(gh, gw, n_bins)
+    for axis, sigma in ((0, s_space), (1, s_space), (2, s_luma)):
+        shaped_q = blur_axis(shaped_q, sigma, axis)
+        shaped_w = blur_axis(shaped_w, sigma, axis)
+
+    sliced_q = shaped_q.reshape(grid_size, c)[flat_idx.reshape(-1)]
+    sliced_w = shaped_w.reshape(grid_size)[flat_idx.reshape(-1)]
+    out = sliced_q / jnp.maximum(sliced_w, 1e-8)[:, None]
+    return out.reshape(h, w, c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_iters", "sxy_gaussian", "compat_gaussian", "sxy_bilateral",
+        "srgb_bilateral", "compat_bilateral",
+    ),
+)
+def crf_inference(
+    unary: jax.Array,  # (H, W, C) negative-log unaries
+    image: jax.Array,  # (H, W, 3) float 0..255
+    n_iters: int = 5,
+    sxy_gaussian: float = 3.0,
+    compat_gaussian: float = 3.0,
+    sxy_bilateral: float = 80.0,
+    srgb_bilateral: float = 13.0,
+    compat_bilateral: float = 10.0,
+) -> jax.Array:
+    """Mean-field dense-CRF inference; returns Q (H, W, C)."""
+    c = unary.shape[-1]
+    radius = int(np.ceil(3 * sxy_gaussian))
+    g_kernel = jnp.asarray(_gaussian_kernel2d(sxy_gaussian, radius))
+    luma = (
+        image[..., 0] * 0.299 + image[..., 1] * 0.587 + image[..., 2] * 0.114
+    )
+
+    q = jax.nn.softmax(-unary, axis=-1)
+    for _ in range(n_iters):
+        m_gauss = _spatial_message(q, g_kernel)
+        m_bilat = _bilateral_grid_message(
+            q, luma, sxy_bilateral, srgb_bilateral, space_step=32, n_bins=16
+        )
+        # Potts: penalty for label a = sum_{b != a} message_b
+        agg = compat_gaussian * m_gauss + compat_bilateral * m_bilat
+        pairwise = jnp.sum(agg, axis=-1, keepdims=True) - agg
+        q = jax.nn.softmax(-unary - pairwise, axis=-1)
+    return q
+
+
+def crf_postprocess(
+    image: np.ndarray, mask: np.ndarray, n_iters: int = 5, gt_prob: float = 0.7
+) -> np.ndarray:
+    """Drop-in equivalent of reference crf_postprocess
+    (postprocess_np.py:10-28): refines a hard label mask using the image,
+    preserving the original label values (the reference compacts labels to
+    0..n-1, runs CRF, then maps back)."""
+    colors, inv = np.unique(mask, return_inverse=True)
+    n_labels = len(colors)
+    if n_labels < 2:
+        return mask.copy()
+    labels = inv.reshape(mask.shape)
+    unary = unary_from_labels(jnp.asarray(labels), n_labels, gt_prob)
+    q = crf_inference(unary, jnp.asarray(image, jnp.float32), n_iters=n_iters)
+    out = np.asarray(mask_argmax(q))
+    return colors[out]

@@ -1,0 +1,370 @@
+"""Training engine: jitted train/eval steps + two-stage transfer trainer.
+
+Rebuilds the reference training driver (/root/reference/train.py:30-247)
+as a functional JAX program:
+
+* one jitted `train_step` (forward+backward+optimizer+BN-stat update+
+  weight averaging) over a batch-sharded mesh — the reference's
+  MirroredStrategy scope, SyncBN, gradient all-reduce, and metric update
+  all collapse into this single XLA program;
+* the two-stage schedule (frozen-backbone transfer stage, then
+  unfreeze-all with a rebuilt decayed/averaged optimizer,
+  train.py:172-244) is `Trainer.fit` driving two `StageConfig`s;
+* callback equivalents: val-Jaccard checkpointing, ReduceLROnPlateau
+  (factor 0.5 / patience 5), EarlyStopping (patience 100),
+  TerminateOnNaN, periodic full-mIOU eval (common/callbacks.py:33-53),
+  checkpoint retention 5 val + 2 eval (common/callbacks.py:11-30).
+
+Precision policy: bf16 activations / fp32 params & BN stats & loss — the
+TPU-native analogue of the reference's mixed_float16 (train.py:37-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deeplabv3p_tpu import losses as losses_lib
+from deeplabv3p_tpu import metrics as metrics_lib
+from deeplabv3p_tpu import optimizers as opt_lib
+from deeplabv3p_tpu.models.factory import make_trainable_mask
+from deeplabv3p_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    avg: opt_lib.AverageState
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """One training stage (the reference runs two: transfer + fine-tune,
+    train.py:172-187 and train.py:192-244)."""
+
+    freeze_level: int = 0
+    optim_type: str = "sgd"
+    learning_rate: float = 1e-2
+    decay_type: Optional[str] = None
+    decay_steps: int = 100000
+    average_type: Optional[str] = None
+    epochs: int = 1
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[..., jax.Array],
+    *,
+    freeze_level: int = 0,
+    use_sample_weights: bool = False,
+    l2_factor: float = 2e-5,  # layers.L2_FACTOR (reference layers.py:12)
+    average_type: Optional[str] = None,
+    compute_metric: bool = True,
+):
+    """Build the jitted train step. The returned fn has signature
+    (state, images, labels, weights, lr_scale) -> (state, metrics_dict).
+
+    lr_scale implements ReduceLROnPlateau (reference train.py:60): it
+    multiplies the optimizer's update (i.e. scales the scheduled LR)
+    without rebuilding the optimizer.
+    """
+
+    def step_fn(state: TrainState, images, labels, weights, lr_scale):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_of(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                freeze_level=freeze_level,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            per_px = loss_fn(labels, logits)
+            sw = weights if use_sample_weights else None
+            loss = losses_lib.reduce_loss(per_px, sw)
+            if l2_factor:
+                loss = loss + losses_lib.l2_penalty(params, l2_factor)
+            return loss, (updates["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_avg, params = opt_lib.apply_average(
+            average_type, state.avg, params, state.step + 1
+        )
+
+        out = {"loss": loss}
+        if compute_metric:
+            out["jaccard"] = metrics_lib.jaccard(labels, logits)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            avg=new_avg,
+            rng=state.rng,
+        )
+        return new_state, out
+
+    return step_fn
+
+
+def make_eval_step(model, num_classes: int):
+    """Jitted eval step: logits → argmax → confusion-matrix delta.
+
+    (state_params, images, labels) -> (C, C) int32 confusion matrix for
+    the batch; accumulate on device across batches.
+    """
+
+    def step_fn(variables, images, labels):
+        logits = model.apply(variables, images, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        return metrics_lib.confusion_matrix(labels, preds, num_classes)
+
+    return step_fn
+
+
+class Trainer:
+    """Two-stage transfer trainer with mesh data parallelism.
+
+    Mirrors reference train.py main(): stage 1 trains with the backbone
+    frozen and an undecayed optimizer (train.py:98-105,177-187); stage 2
+    unfreezes everything and rebuilds the optimizer with LR decay and
+    optional weight averaging (train.py:192-244).
+    """
+
+    def __init__(
+        self,
+        model,
+        num_classes: int,
+        loss_fn,
+        *,
+        use_sample_weights: bool = False,
+        mesh=None,
+        log_dir: str = "logs/000",
+        seed: int = 0,
+    ):
+        self.model = model
+        self.num_classes = num_classes
+        self.loss_fn = loss_fn
+        self.use_sample_weights = use_sample_weights
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log_dir = log_dir
+        self.seed = seed
+        self.history: list[dict] = []
+        os.makedirs(log_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(
+        self, input_shape: tuple[int, int], stage: StageConfig, batch_size: int = 1
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        dummy = jnp.zeros((batch_size, *input_shape, 3), jnp.float32)
+        variables = self.model.init(rng, dummy)
+        return self.build_stage_state(
+            variables["params"], variables["batch_stats"], stage
+        )
+
+    def build_stage_state(self, params, batch_stats, stage: StageConfig):
+        """(Re)build optimizer state for a stage — the reference's
+        recompile-with-new-optimizer between stages (train.py:192-231)."""
+        mask = make_trainable_mask(params, stage.freeze_level)
+        tx = opt_lib.build_optimizer(
+            stage.optim_type,
+            stage.learning_rate,
+            decay_type=stage.decay_type,
+            decay_steps=stage.decay_steps,
+            trainable_mask=mask,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            avg=opt_lib.init_average(stage.average_type, params),
+            rng=jax.random.PRNGKey(self.seed),
+        )
+        return state, tx
+
+    # -- compiled steps ------------------------------------------------------
+
+    def compile_train_step(self, tx, stage: StageConfig):
+        step = make_train_step(
+            self.model,
+            tx,
+            self.loss_fn,
+            freeze_level=stage.freeze_level,
+            use_sample_weights=self.use_sample_weights,
+            average_type=stage.average_type,
+        )
+        data_shard = batch_sharding(self.mesh)
+        repl = replicated_sharding(self.mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, data_shard, data_shard, data_shard, None),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit(
+        self,
+        train_data,
+        stages: list[StageConfig],
+        *,
+        augment_fn=None,
+        val_data=None,
+        initial_state: Optional[TrainState] = None,
+        eval_every: int = 0,
+        checkpoint_cb=None,
+        reduce_lr_patience: int = 5,
+        reduce_lr_factor: float = 0.5,
+        early_stop_patience: int = 100,
+        steps_per_epoch: Optional[int] = None,
+    ) -> TrainState:
+        """Run the staged schedule. `train_data` yields host batches
+        (images u8, labels u8, orig_hw); `augment_fn(key, batch)` is the
+        device augmentation graph."""
+        state = initial_state
+        params, batch_stats = None, None
+        if state is not None:
+            params, batch_stats = state.params, state.batch_stats
+
+        epoch_base = 0
+        for stage in stages:
+            if params is None:
+                probe = next(iter(train_data.epoch_batches()))
+                input_hw = probe[0].shape[1:3]
+                state, tx = self.init_state(input_hw, stage, probe[0].shape[0])
+                params, batch_stats = state.params, state.batch_stats
+            else:
+                state, tx = self.build_stage_state(params, batch_stats, stage)
+
+            train_step = self.compile_train_step(tx, stage)
+            lr_scale = 1.0
+            best_metric, plateau_wait, early_wait = -np.inf, 0, 0
+            aug_key = jax.random.PRNGKey(self.seed + 1)
+
+            for epoch in range(stage.epochs):
+                t0 = time.time()
+                n_steps, loss_sum, jac_sum = 0, 0.0, 0.0
+                for b, host_batch in enumerate(
+                    train_data.epoch_batches(), start=0
+                ):
+                    if steps_per_epoch and b >= steps_per_epoch:
+                        break
+                    aug_key, k = jax.random.split(aug_key)
+                    if augment_fn is not None:
+                        images, labels, weights = augment_fn(k, *host_batch)
+                    else:
+                        from deeplabv3p_tpu.data.augment import (
+                            preprocess_eval_batch,
+                        )
+
+                        images, labels = preprocess_eval_batch(
+                            jnp.asarray(host_batch[0]),
+                            jnp.asarray(host_batch[1]),
+                            num_classes=self.num_classes,
+                        )
+                        weights = jnp.ones(labels.shape, jnp.float32)
+                    images, labels, weights = shard_batch(
+                        self.mesh, (images, labels, weights)
+                    )
+                    state, m = train_step(state, images, labels, weights, lr_scale)
+                    n_steps += 1
+                    loss_sum += float(m["loss"])
+                    jac_sum += float(m.get("jaccard", 0.0))
+
+                epoch_loss = loss_sum / max(n_steps, 1)
+                epoch_jac = jac_sum / max(n_steps, 1)
+                record = {
+                    "epoch": epoch_base + epoch,
+                    "loss": epoch_loss,
+                    "jaccard": epoch_jac,
+                    "lr_scale": lr_scale,
+                    "sec": time.time() - t0,
+                    "steps": n_steps,
+                }
+
+                # TerminateOnNaN (reference train.py:64)
+                if not np.isfinite(epoch_loss):
+                    record["terminated"] = "nan"
+                    self.history.append(record)
+                    return state
+
+                monitored = epoch_jac
+                if val_data is not None:
+                    val = self.evaluate(state, val_data, stage.average_type)
+                    record["val_miou"] = val.miou
+                    monitored = val.miou
+
+                if monitored > best_metric:
+                    best_metric = monitored
+                    plateau_wait = early_wait = 0
+                    if checkpoint_cb is not None:
+                        checkpoint_cb(state, record)
+                else:
+                    plateau_wait += 1
+                    early_wait += 1
+                    # ReduceLROnPlateau(0.5, patience 5) (train.py:60)
+                    if plateau_wait >= reduce_lr_patience:
+                        lr_scale *= reduce_lr_factor
+                        plateau_wait = 0
+                    if early_wait >= early_stop_patience:
+                        record["terminated"] = "early_stop"
+                        self.history.append(record)
+                        return state
+
+                self.history.append(record)
+
+            params = state.params
+            batch_stats = state.batch_stats
+            epoch_base += stage.epochs
+        return state
+
+    # -- eval ----------------------------------------------------------------
+
+    def evaluate(
+        self, state: TrainState, val_data, average_type: Optional[str] = None
+    ) -> metrics_lib.SegmentMetrics:
+        """Streaming confusion-matrix evaluation of the current params
+        (with averaged weights when averaging is active)."""
+        from deeplabv3p_tpu.data.augment import preprocess_eval_batch
+
+        eval_step = jax.jit(make_eval_step(self.model, self.num_classes))
+        params = opt_lib.average_params(average_type, state.avg, state.params)
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        for host_batch in val_data.epoch_batches():
+            images, labels = preprocess_eval_batch(
+                jnp.asarray(host_batch[0]),
+                jnp.asarray(host_batch[1]),
+                num_classes=self.num_classes,
+            )
+            cm = cm + eval_step(variables, images, labels)
+        return metrics_lib.segment_metrics_from_confusion(np.asarray(cm))

@@ -1,0 +1,154 @@
+"""Import reference Keras .h5 checkpoints into flax variable pytrees.
+
+The reference's interchange format is whole-model Keras h5
+(/root/reference/eval.py:566-571, deeplab.py:61-78). Our module tree
+mirrors Keras layer names (SURVEY.md §7 "weight import" hard part), so
+import is a name-join walk:
+
+flax path                                   → Keras layer name
+params/backbone/Conv/kernel                 → Conv
+params/backbone/block_1/expanded_conv_1_expand/kernel
+                                            → expanded_conv_1_expand
+params/aspp/aspp1/depthwise/dw/kernel       → aspp1_depthwise
+params/decoder/decoder_conv0/pointwise_BN/bn/scale
+                                            → decoder_conv0_pointwise_BN
+params/conv_upsample/kernel                 → conv_upsample
+
+Rules: structural containers (backbone / aspp / decoder / block_i /
+image_pool_branch) are dropped; 'bn' / 'dw' wrapper scopes are stripped;
+remaining components join with '_'.
+
+Weight-level mapping:
+  Conv2D      kernel:0 (H,W,Ci,Co) → kernel          (same layout)
+              bias:0               → bias
+  DepthwiseConv2D depthwise_kernel:0 (H,W,C,1) → dw kernel (H,W,1,C)
+  BatchNorm   gamma/beta → scale/bias (params);
+              moving_mean/moving_variance → mean/var (batch_stats)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+_CONTAINER_RE = re.compile(r"^(backbone|aspp|decoder|image_pool_branch|block_\d+)$")
+_WRAPPER_NAMES = frozenset({"bn", "dw", "conv"})
+
+_PARAM_TO_KERAS = {
+    # our leaf name -> candidate Keras weight names (in priority order)
+    "kernel": ("kernel:0", "depthwise_kernel:0"),
+    "bias": ("bias:0",),
+    "scale": ("gamma:0",),
+    "mean": ("moving_mean:0",),
+    "var": ("moving_variance:0",),
+}
+_BN_BIAS = ("beta:0",)
+
+
+def keras_layer_name(path: tuple[str, ...]) -> str:
+    """Map a flax module path (without the leaf param name) to the Keras
+    layer name per the rules above."""
+    parts = [
+        p for p in path
+        if not _CONTAINER_RE.match(p) and p not in _WRAPPER_NAMES
+    ]
+    return "_".join(parts)
+
+
+def _h5_weight_groups(h5file):
+    """{layer_name: {weight_name: np.ndarray}} from a Keras h5 file
+    (handles both full-model 'model_weights' and bare save_weights)."""
+    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    layers = {}
+
+    def collect(name, obj):
+        import h5py
+
+        if isinstance(obj, h5py.Dataset):
+            parts = name.split("/")
+            # layout: <layer>/<inner scope...>/<weight>:0
+            layer, weight = parts[0], parts[-1]
+            layers.setdefault(layer, {})[weight] = np.asarray(obj)
+
+    root.visititems(collect)
+    return layers
+
+
+def load_keras_h5_weights(
+    h5_path: str,
+    variables: Any,
+    strict: bool = False,
+    verbose: bool = False,
+) -> Any:
+    """Load Keras h5 weights into a flax variables pytree
+    ({'params': ..., 'batch_stats': ...}); returns a new pytree.
+
+    strict=False mirrors Keras `load_weights(by_name=True)`
+    (reference deeplabv3p_mobilenetv2.py:350): layers missing from the
+    file keep their initialized values.
+    """
+    import h5py
+
+    import jax
+
+    with h5py.File(h5_path, "r") as f:
+        layer_weights = _h5_weight_groups(f)
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    replacements: dict[tuple, np.ndarray] = {}
+    missing: list[str] = []
+
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        # keys[0] is the collection ('params' | 'batch_stats')
+        module_path, leaf_name = keys[1:-1], keys[-1]
+        lname = keras_layer_name(module_path)
+        group = layer_weights.get(lname)
+        if group is None:
+            missing.append(f"{lname} ({'/'.join(keys)})")
+            continue
+
+        is_bn = "scale" in _collect_sibling_names(variables, keys)
+        if leaf_name == "bias" and is_bn:
+            candidates = _BN_BIAS
+        else:
+            candidates = _PARAM_TO_KERAS.get(leaf_name, ())
+
+        value = None
+        for cand in candidates:
+            if cand in group:
+                value = group[cand]
+                src = cand
+                break
+        if value is None:
+            missing.append(f"{lname}:{leaf_name}")
+            continue
+
+        if src == "depthwise_kernel:0":
+            value = value.transpose(0, 1, 3, 2)  # (H,W,C,1)→(H,W,1,C)
+        if value.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {lname}:{leaf_name}: "
+                f"h5 {value.shape} vs model {leaf.shape}"
+            )
+        replacements[keys] = value.astype(np.asarray(leaf).dtype)
+        if verbose:
+            print(f"loaded {lname}/{src} -> {'/'.join(keys)}")
+
+    if strict and missing:
+        raise KeyError(f"missing weights for: {missing}")
+
+    def substitute(path, leaf):
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        return replacements.get(keys, leaf)
+
+    return jax.tree_util.tree_map_with_path(substitute, variables)
+
+
+def _collect_sibling_names(variables: Any, keys: tuple) -> set:
+    node = variables
+    for k in keys[:-1]:
+        node = node[k]
+    return set(node.keys())

@@ -31,8 +31,8 @@ def test_polynomial_schedule():
 
 def test_piecewise_schedule_warmup():
     s = opt.get_lr_schedule(1e-2, "piecewise_constant", 1000)
-    assert float(s(0)) == 0.001  # warmup (model_utils.py:103-104)
-    assert float(s(499)) == 0.001
+    np.testing.assert_allclose(float(s(0)), 0.001, rtol=1e-6)  # warmup
+    np.testing.assert_allclose(float(s(499)), 0.001, rtol=1e-6)
     np.testing.assert_allclose(float(s(500)), 1e-2)
     np.testing.assert_allclose(float(s(900)), 1e-3)
     np.testing.assert_allclose(float(s(1000)), 1e-4)
@@ -52,33 +52,36 @@ def test_freeze_mask_zeroes_updates():
 def test_ema_average():
     params = {"w": jnp.array(1.0)}
     st = opt.init_average("ema", params)
-    st, _ = opt.apply_average(st, {"w": jnp.array(2.0)}, jnp.array(1))
+    st, _ = opt.apply_average("ema", st, {"w": jnp.array(2.0)}, jnp.array(1))
     np.testing.assert_allclose(
         float(st.average["w"]), 0.99 * 1.0 + 0.01 * 2.0, rtol=1e-6
     )
-    avg = opt.average_params(st, params)
+    avg = opt.average_params("ema", st, params)
     assert avg is st.average
 
 
 def test_swa_average_period():
     params = {"w": jnp.array(0.0)}
     st = opt.init_average("swa", params)
-    # step 10: average of (0, 4) -> 2
-    st, _ = opt.apply_average(st, {"w": jnp.array(4.0)}, jnp.array(10))
-    np.testing.assert_allclose(float(st.average["w"]), 2.0)
+    # first boundary (step 10): average = params at that step
+    st, _ = opt.apply_average("swa", st, {"w": jnp.array(4.0)}, jnp.array(10))
+    np.testing.assert_allclose(float(st.average["w"]), 4.0)
     # step 11: not a period boundary -> unchanged
-    st, _ = opt.apply_average(st, {"w": jnp.array(100.0)}, jnp.array(11))
-    np.testing.assert_allclose(float(st.average["w"]), 2.0)
+    st, _ = opt.apply_average("swa", st, {"w": jnp.array(100.0)}, jnp.array(11))
+    np.testing.assert_allclose(float(st.average["w"]), 4.0)
+    # second boundary: running mean of boundary-step params
+    st, _ = opt.apply_average("swa", st, {"w": jnp.array(8.0)}, jnp.array(20))
+    np.testing.assert_allclose(float(st.average["w"]), 6.0)
 
 
 def test_lookahead_sync():
     params = {"w": jnp.array(2.0)}
     st = opt.init_average("lookahead", params)  # slow = 2.0
     # non-boundary step: nothing happens
-    st, p = opt.apply_average(st, {"w": jnp.array(4.0)}, jnp.array(5))
+    st, p = opt.apply_average("lookahead", st, {"w": jnp.array(4.0)}, jnp.array(5))
     np.testing.assert_allclose(float(p["w"]), 4.0)
     # boundary: slow = 2 + 0.5*(4-2) = 3; fast reset to slow
-    st, p = opt.apply_average(st, {"w": jnp.array(4.0)}, jnp.array(6))
+    st, p = opt.apply_average("lookahead", st, {"w": jnp.array(4.0)}, jnp.array(6))
     np.testing.assert_allclose(float(st.average["w"]), 3.0)
     np.testing.assert_allclose(float(p["w"]), 3.0)
 
