@@ -44,7 +44,8 @@ def bench_inference(model_type: str, hw=512, num_classes=21):
         model_type, num_classes, output_stride=16, dtype=jnp.bfloat16
     )
     x = jnp.zeros((1, hw, hw, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # jit the init: one compiled program instead of op-by-op dispatch
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     @jax.jit
     def predict(images):

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Demo/inference CLI — TPU-native counterpart of /root/reference/deeplab.py.
+
+Interactive single-image segmentation, batch image mode, and video mode,
+with optional CRF refinement and model dump.
+
+Examples:
+  python deeplab.py --model_type=mobilenetv2_lite \
+      --weights_path=logs/000/trained_final.ckpt \
+      --classes_path=configs/voc_classes.txt --image
+  python deeplab.py ... --input=video.mp4 --output=out.mp4
+"""
+
+import argparse
+
+from PIL import Image
+
+from deeplabv3p_tpu.inference import DeepLab
+
+
+def segment_img_loop(deeplab: DeepLab, output_path=None):
+    """Interactive image loop (reference deeplab.py:175-185)."""
+    import os
+
+    while True:
+        img_path = input("Input image filename:")
+        try:
+            image = Image.open(img_path).convert("RGB")
+        except Exception:
+            print("Open Error! Try again!")
+            continue
+        result = deeplab.segment_image(image)
+        result.show()
+        if output_path:
+            os.makedirs(output_path, exist_ok=True)
+            result.save(
+                os.path.join(output_path, os.path.basename(img_path))
+            )
+
+
+def main(args):
+    deeplab = DeepLab(
+        model_type=args.model_type,
+        classes_path=args.classes_path,
+        model_input_shape=(args.model_input_shape, args.model_input_shape),
+        output_stride=args.output_stride,
+        weights_path=args.weights_path,
+        do_crf=args.do_crf,
+    )
+    if args.dump_model:
+        from deeplabv3p_tpu.utils.checkpoint import save_variables
+
+        save_variables(args.output_model_file, deeplab.variables)
+        print(f"dumped inference model to {args.output_model_file}")
+        return
+    if args.image:
+        segment_img_loop(deeplab, args.output)
+    elif args.input:
+        deeplab.segment_video(args.input, args.output)
+    else:
+        raise SystemExit("specify --image, --input, or --dump_model")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_type", default="mobilenetv2_lite")
+    p.add_argument("--weights_path", default=None)
+    p.add_argument("--classes_path", default="configs/voc_classes.txt")
+    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
+    p.add_argument("--do_crf", action="store_true")
+    p.add_argument("--image", action="store_true", help="interactive image mode")
+    p.add_argument("--input", default=None, help="video path or '0' for webcam")
+    p.add_argument("--output", default=None)
+    p.add_argument("--dump_model", action="store_true")
+    p.add_argument("--output_model_file", default="inference.ckpt")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -27,6 +27,15 @@ import jax.numpy as jnp
 
 from deeplabv3p_tpu.models.layers import ASPP, ASPPLite, Decoder, Subpixel, _conv
 from deeplabv3p_tpu.models.mobilenetv2 import MobileNetV2Body
+from deeplabv3p_tpu.models.mobilenetv3 import (
+    MobileNetV3LargeBody,
+    MobileNetV3SmallBody,
+)
+from deeplabv3p_tpu.models.mobilevit import MobileViTBody
+from deeplabv3p_tpu.models.ghostnet import GhostNetBody
+from deeplabv3p_tpu.models.peleenet import PeleeNetBody
+from deeplabv3p_tpu.models.resnet50 import ResNet50Body
+from deeplabv3p_tpu.models.xception import XceptionBody
 from deeplabv3p_tpu.ops.resize import resize_bilinear
 
 
@@ -104,6 +113,22 @@ class DeeplabV3Plus(nn.Module):
 DEEPLAB_MODEL_REGISTRY: dict[str, tuple[Callable[..., nn.Module], bool]] = {
     "mobilenetv2": (partial(MobileNetV2Body, alpha=1.0), False),
     "mobilenetv2_lite": (partial(MobileNetV2Body, alpha=1.0), True),
+    "mobilenetv3large": (partial(MobileNetV3LargeBody, alpha=1.0), False),
+    "mobilenetv3large_lite": (partial(MobileNetV3LargeBody, alpha=1.0), True),
+    "mobilenetv3small": (partial(MobileNetV3SmallBody, alpha=1.0), False),
+    "mobilenetv3small_lite": (partial(MobileNetV3SmallBody, alpha=1.0), True),
+    "xception": (XceptionBody, False),
+    "resnet50": (ResNet50Body, False),
+    "peleenet": (PeleeNetBody, False),
+    "peleenet_lite": (PeleeNetBody, True),
+    "ghostnet": (GhostNetBody, False),
+    "ghostnet_lite": (GhostNetBody, True),
+    "mobilevit_s": (partial(MobileViTBody, size="s"), False),
+    "mobilevit_s_lite": (partial(MobileViTBody, size="s"), True),
+    "mobilevit_xs": (partial(MobileViTBody, size="xs"), False),
+    "mobilevit_xs_lite": (partial(MobileViTBody, size="xs"), True),
+    "mobilevit_xxs": (partial(MobileViTBody, size="xxs"), False),
+    "mobilevit_xxs_lite": (partial(MobileViTBody, size="xxs"), True),
 }
 
 

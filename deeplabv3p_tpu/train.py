@@ -184,7 +184,9 @@ class Trainer:
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((batch_size, *input_shape, 3), jnp.float32)
-        variables = self.model.init(rng, dummy)
+        # jitted init: one compiled program instead of per-op dispatch
+        # (which is pathologically slow over the TPU tunnel)
+        variables = jax.jit(self.model.init)(rng, dummy)
         return self.build_stage_state(
             variables["params"], variables["batch_stats"], stage
         )

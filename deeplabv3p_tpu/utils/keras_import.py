@@ -33,8 +33,12 @@ from typing import Any
 
 import numpy as np
 
-_CONTAINER_RE = re.compile(r"^(backbone|aspp|decoder|image_pool_branch|block_\d+)$")
-_WRAPPER_NAMES = frozenset({"bn", "dw", "conv"})
+_CONTAINER_RE = re.compile(
+    r"^(backbone|aspp|decoder|image_pool_branch|block_\d+|stage\d+[a-z]|se_\d+|mvit_\d+)$"
+)
+# 'bn'/'dw' are structural wrapper scopes inside BatchNorm/DepthwiseConv
+# modules; note PeleeNet's '<name>_conv' layers keep their 'conv' component.
+_WRAPPER_NAMES = frozenset({"bn", "dw", "c", "mha"})
 
 _PARAM_TO_KERAS = {
     # our leaf name -> candidate Keras weight names (in priority order)
@@ -49,28 +53,40 @@ _BN_BIAS = ("beta:0",)
 
 def keras_layer_name(path: tuple[str, ...]) -> str:
     """Map a flax module path (without the leaf param name) to the Keras
-    layer name per the rules above."""
+    layer name per the rules above. A double dash in a module name encodes
+    a '/' in the Keras layer name (flax names cannot contain '/'):
+    'expanded_conv_1--squeeze_excite--Conv' → 'expanded_conv_1/squeeze_excite/Conv'
+    (MobileNetV3-style names, reference deeplabv3p_mobilenetv3.py:122-201).
+    A plain double underscore stays literal (MobileViT's 'mv2_block_0__expand').
+    """
     parts = [
         p for p in path
         if not _CONTAINER_RE.match(p) and p not in _WRAPPER_NAMES
     ]
-    return "_".join(parts)
+    return "_".join(parts).replace("--", "/")
 
 
 def _h5_weight_groups(h5file):
     """{layer_name: {weight_name: np.ndarray}} from a Keras h5 file
-    (handles both full-model 'model_weights' and bare save_weights)."""
+    (handles both full-model 'model_weights' and bare save_weights).
+
+    Keras layer names may themselves contain '/' (h5 nests them), so each
+    dataset `<scope...>/<weight>:0` is registered under every '/'-joined
+    prefix of its scope; lookup by exact layer name then always hits.
+    """
     root = h5file["model_weights"] if "model_weights" in h5file else h5file
-    layers = {}
+    layers: dict[str, dict[str, np.ndarray]] = {}
 
     def collect(name, obj):
         import h5py
 
         if isinstance(obj, h5py.Dataset):
             parts = name.split("/")
-            # layout: <layer>/<inner scope...>/<weight>:0
-            layer, weight = parts[0], parts[-1]
-            layers.setdefault(layer, {})[weight] = np.asarray(obj)
+            weight, scope = parts[-1], parts[:-1]
+            arr = np.asarray(obj)
+            for i in range(1, len(scope) + 1):
+                key = "/".join(scope[:i])
+                layers.setdefault(key, {}).setdefault(weight, arr)
 
     root.visititems(collect)
     return layers

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Evaluation CLI — TPU-native counterpart of /root/reference/eval.py.
+
+Computes streaming mIoU/FWIoU/PixelAcc/mClassAcc + per-class IoU over a
+dataset, with optional CRF postprocess, per-image result dumps, and
+mIOU/confusion-matrix plots.
+
+Example:
+  python eval.py --model_path=logs/000/trained_final.ckpt \
+      --model_type=mobilenetv2_lite --dataset_path=VOC2012 \
+      --dataset_file=VOC2012/val.txt --classes_path=configs/voc_classes.txt
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from deeplabv3p_tpu.eval import eval_miou
+from deeplabv3p_tpu.models.factory import build_deeplab_model
+from deeplabv3p_tpu.utils.checkpoint import load_variables
+from deeplabv3p_tpu.utils.config import get_classes, get_data_list
+
+
+def main(args):
+    class_names = get_classes(args.classes_path)
+    num_classes = len(class_names)
+    input_shape = (args.model_input_shape, args.model_input_shape)
+
+    model = build_deeplab_model(
+        args.model_type, num_classes, output_stride=args.output_stride,
+        dtype=jnp.bfloat16,
+    )
+    if args.model_path.endswith(".h5"):
+        # reference Keras checkpoints import by layer name
+        from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+        x = jnp.zeros((1, *input_shape, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        variables = load_keras_h5_weights(args.model_path, variables)
+    else:
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, *input_shape, 3), jnp.float32)
+        )
+        variables = load_variables(args.model_path, template)
+
+    data_list = get_data_list(args.dataset_file, shuffle=False)
+    eval_miou(
+        model, variables, args.dataset_path, data_list, class_names,
+        model_input_shape=input_shape, batch_size=args.batch_size,
+        do_crf=args.do_crf, save_result=args.save_result, plots=True,
+    )
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", required=True,
+                   help=".ckpt (native) or .h5 (Keras reference) checkpoint")
+    p.add_argument("--model_type", default="mobilenetv3large_lite")
+    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
+    p.add_argument("--dataset_path", default="VOC2012/")
+    p.add_argument("--dataset_file", default="VOC2012/val.txt")
+    p.add_argument("--classes_path", default="configs/voc_classes.txt")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--do_crf", action="store_true")
+    p.add_argument("--save_result", action="store_true")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -50,6 +50,40 @@ def test_deeplab_logits_shape(model_type):
     assert logits.dtype == jnp.float32
 
 
+# expected (feature_channels, skip_channels, skip_os) per backbone
+_BODY_SPECS = {
+    "xception": ("deeplabv3p_tpu.models.xception", "XceptionBody", 2048, 256),
+    "resnet50": ("deeplabv3p_tpu.models.resnet50", "ResNet50Body", 2048, 256),
+    "mobilenetv3large": (
+        "deeplabv3p_tpu.models.mobilenetv3", "MobileNetV3LargeBody", 160, 24
+    ),
+    "mobilenetv3small": (
+        "deeplabv3p_tpu.models.mobilenetv3", "MobileNetV3SmallBody", 96, 16
+    ),
+    "peleenet": ("deeplabv3p_tpu.models.peleenet", "PeleeNetBody", 704, 128),
+    "ghostnet": ("deeplabv3p_tpu.models.ghostnet", "GhostNetBody", 160, 24),
+    "mobilevit_s": ("deeplabv3p_tpu.models.mobilevit", "MobileViTBody", 640, 64),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_BODY_SPECS))
+@pytest.mark.parametrize("output_stride", [8, 16, 32])
+def test_backbone_body_os(name, output_stride):
+    import importlib
+
+    mod_name, cls_name, feat_ch, skip_ch = _BODY_SPECS[name]
+    body = getattr(importlib.import_module(mod_name), cls_name)(
+        output_stride=output_stride
+    )
+    x = jnp.zeros((1, INPUT, INPUT, 3), jnp.float32)
+    vars_ = body.init(jax.random.PRNGKey(0), x)
+    feat, skip = body.apply(vars_, x)
+    assert feat.shape[1:3] == (INPUT // output_stride, INPUT // output_stride)
+    assert feat.shape[3] == feat_ch
+    assert skip.shape[1] == INPUT // 4
+    assert skip.shape[3] == skip_ch
+
+
 def test_deeplab_train_mode_updates_batch_stats():
     model = build_deeplab_model("mobilenetv2_lite", 5, output_stride=16)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, INPUT, INPUT, 3))

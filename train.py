@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Training CLI — TPU-native counterpart of /root/reference/train.py.
+
+Two-stage transfer training: a frozen-backbone stage with an undecayed
+optimizer (reference train.py:98-105,172-187), then unfreeze-all with a
+rebuilt decayed/averaged optimizer (train.py:192-244). Data parallelism is
+a device mesh (`--num_devices` replaces `--gpu_num`).
+
+Example:
+  python train.py --model_type=mobilenetv3large_lite \
+      --dataset_path=VOC2012 --dataset_file=VOC2012/train.txt \
+      --val_dataset_file=VOC2012/val.txt --classes_path=configs/voc_classes.txt \
+      --loss=focal --weighted_type=adaptive --decay_type=cosine
+"""
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from deeplabv3p_tpu.data.augment import AugmentConfig, augment_batch
+from deeplabv3p_tpu.data.pipeline import SegmentationDataset
+from deeplabv3p_tpu.losses import get_loss_fn
+from deeplabv3p_tpu.models.factory import build_deeplab_model
+from deeplabv3p_tpu.optimizers import average_params
+from deeplabv3p_tpu.parallel.mesh import make_mesh
+from deeplabv3p_tpu.train import StageConfig, Trainer
+from deeplabv3p_tpu.utils.checkpoint import CheckpointManager
+from deeplabv3p_tpu.utils.config import (
+    get_classes,
+    get_data_list,
+    load_class_weights,
+)
+
+
+def main(args):
+    class_names = get_classes(args.classes_path)
+    num_classes = len(class_names)
+    assert num_classes < 254, "PNG label only supports < 254 classes"
+    input_shape = (args.model_input_shape, args.model_input_shape)
+
+    train_list = get_data_list(args.dataset_file)
+    val_list = get_data_list(args.val_dataset_file) if args.val_dataset_file else []
+
+    train_ds = SegmentationDataset(
+        args.dataset_path, train_list, batch_size=args.batch_size,
+        num_classes=num_classes, input_shape=input_shape, augment=True,
+    )
+    val_ds = (
+        SegmentationDataset(
+            args.dataset_path, val_list, batch_size=args.batch_size,
+            num_classes=num_classes, input_shape=input_shape, augment=False,
+            shuffle=False,
+        )
+        if val_list
+        else None
+    )
+
+    class_weights = None
+    if args.weighted_type == "balanced":
+        wpath = os.path.join(args.dataset_path, "classes_weights.txt")
+        class_weights = load_class_weights(wpath)
+    loss_fn = get_loss_fn(
+        args.loss, weighted_type=args.weighted_type, class_weights=class_weights
+    )
+
+    model = build_deeplab_model(
+        args.model_type, num_classes, output_stride=args.output_stride,
+        dtype=jnp.bfloat16 if args.mixed_precision else None,
+    )
+    mesh = make_mesh(args.num_devices if args.num_devices > 0 else None)
+    trainer = Trainer(
+        model, num_classes, loss_fn,
+        use_sample_weights=(args.weighted_type == "adaptive"),
+        mesh=mesh, log_dir=args.log_dir,
+    )
+
+    steps_per_epoch = max(1, len(train_ds))
+    total_steps = steps_per_epoch * max(
+        args.total_epoch - args.transfer_epoch, 1
+    )
+    stages = []
+    if args.transfer_epoch > args.init_epoch:
+        stages.append(
+            StageConfig(
+                freeze_level=args.freeze_level,
+                optim_type=args.optimizer, learning_rate=args.learning_rate,
+                decay_type=None, epochs=args.transfer_epoch - args.init_epoch,
+            )
+        )
+    stages.append(
+        StageConfig(
+            freeze_level=0, optim_type=args.optimizer,
+            learning_rate=args.learning_rate, decay_type=args.decay_type,
+            decay_steps=total_steps, average_type=args.weights_average_type,
+            epochs=args.total_epoch - max(args.transfer_epoch, args.init_epoch),
+        )
+    )
+
+    ckpt = CheckpointManager(args.log_dir)
+    aug_cfg = AugmentConfig()
+
+    def augment_fn(key, images, labels, orig_hw):
+        return augment_batch(
+            key, jnp.asarray(images), jnp.asarray(labels),
+            jnp.asarray(orig_hw), aug_cfg, num_classes=num_classes,
+        )
+
+    def checkpoint_cb(state, record):
+        variables = {
+            "params": average_params(None, state.avg, state.params),
+            "batch_stats": state.batch_stats,
+        }
+        ckpt.save_epoch(variables, record["epoch"], record)
+
+    state = trainer.fit(
+        train_ds, stages, augment_fn=augment_fn, val_data=val_ds,
+        checkpoint_cb=checkpoint_cb,
+    )
+    final = {"params": state.params, "batch_stats": state.batch_stats}
+    path = ckpt.save_final(final)
+    print(f"saved final model to {path}")
+    for rec in trainer.history:
+        print(rec)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    # model (reference train.py:253-266)
+    p.add_argument("--model_type", default="mobilenetv3large_lite")
+    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
+    p.add_argument("--weights_path", default=None)
+    # data
+    p.add_argument("--dataset_path", default="VOC2012/")
+    p.add_argument("--dataset_file", default="VOC2012/train.txt")
+    p.add_argument("--val_dataset_file", default=None)
+    p.add_argument("--classes_path", default="configs/voc_classes.txt")
+    # training (reference train.py:268-315)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--optimizer", default="sgd",
+                   choices=["adam", "rmsprop", "sgd"])
+    p.add_argument("--learning_rate", type=float, default=1e-2)
+    p.add_argument("--decay_type", default="cosine",
+                   choices=["none", "cosine", "exponential", "polynomial",
+                            "piecewise_constant"])
+    p.add_argument("--weights_average_type", default=None,
+                   choices=[None, "ema", "swa", "lookahead"])
+    p.add_argument("--loss", default="crossentropy",
+                   choices=["crossentropy", "focal"])
+    p.add_argument("--weighted_type", default=None,
+                   choices=[None, "adaptive", "balanced"])
+    p.add_argument("--init_epoch", type=int, default=0)
+    p.add_argument("--transfer_epoch", type=int, default=10)
+    p.add_argument("--total_epoch", type=int, default=150)
+    p.add_argument("--freeze_level", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="devices in the data mesh (0 = all)")
+    p.add_argument("--mixed_precision", action="store_true", default=True)
+    p.add_argument("--log_dir", default="logs/000")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())
