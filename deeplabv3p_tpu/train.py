@@ -223,6 +223,12 @@ class Trainer:
             use_sample_weights=self.use_sample_weights,
             average_type=stage.average_type,
         )
+        if self.mesh.size == 1:
+            # Single device: plain jit. Explicit NamedShardings on a
+            # 1-device mesh defeat the PJRT client's fast dispatch path
+            # (measured 3 s/step vs 1.5 ms via the tunneled TPU backend)
+            # and buy nothing — GSPMD has nothing to partition.
+            return jax.jit(step, donate_argnums=(0,))
         data_shard = batch_sharding(self.mesh)
         repl = replicated_sharding(self.mesh)
         return jax.jit(
