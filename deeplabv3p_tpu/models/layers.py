@@ -338,28 +338,58 @@ class Decoder(nn.Module):
         return x
 
 
+def icnr_init(scale: int, base_init=None):
+    """ICNR initializer for checkerboard-free sub-pixel convolution
+    (reference ICNR class, layers.py:227-253; Aitken et al. 2017).
+
+    Initializes a (kh, kw, cin, filters*scale^2) kernel by drawing a
+    (kh, kw, cin, filters) sub-kernel and repeating each output channel
+    scale^2 times consecutively — matching the Subpixel phase-shift
+    channel decomposition (channel = c' * r^2 + ra * r + rb), so every
+    r x r output block starts out identical.
+    """
+    if base_init is None:
+        base_init = nn.initializers.lecun_normal()
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        if scale == 1:
+            return base_init(key, shape, dtype)
+        sub = base_init(key, (kh, kw, cin, cout // (scale**2)), dtype)
+        return jnp.repeat(sub, scale**2, axis=-1)
+
+    return init
+
+
 class Subpixel(nn.Module):
     """Sub-pixel (pixel-shuffle) prediction head.
 
     Conv to r*r*filters then depth-to-space rearrange, equivalent to the
-    reference Subpixel layer (layers.py:255-309). ICNR init
-    (layers.py:227-253) is provided by the importer/init helper.
+    reference Subpixel layer (layers.py:255-309), with optional ICNR
+    initialization (layers.py:227-253).
     """
 
     filters: int
     kernel_size: int = 1
     r: int = 2
+    use_icnr: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         r = self.r
-        x = _conv(
-            self.filters * r * r,
-            self.kernel_size,
+        kernel_init = (
+            icnr_init(r) if self.use_icnr else nn.initializers.lecun_normal()
+        )
+        x = nn.Conv(
+            features=self.filters * r * r,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            padding="SAME",
             use_bias=True,
-            name="conv",
+            kernel_init=kernel_init,
             dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
         )(x)
         n, h, w, c = x.shape
         cout = c // (r * r)
@@ -381,5 +411,6 @@ __all__: Sequence[str] = [
     "Decoder",
     "ImagePoolingBranch",
     "Subpixel",
+    "icnr_init",
     "aspp_rates",
 ]

@@ -175,6 +175,7 @@ class Trainer:
         self.log_dir = log_dir
         self.seed = seed
         self.history: list[dict] = []
+        self._best_eval_miou = -np.inf
         os.makedirs(log_dir, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
@@ -247,9 +248,11 @@ class Trainer:
         *,
         augment_fn=None,
         val_data=None,
+        eval_data=None,
         initial_state: Optional[TrainState] = None,
         eval_every: int = 0,
         checkpoint_cb=None,
+        ckpt_manager=None,
         reduce_lr_patience: int = 5,
         reduce_lr_factor: float = 0.5,
         early_stop_patience: int = 100,
@@ -257,7 +260,16 @@ class Trainer:
     ) -> TrainState:
         """Run the staged schedule. `train_data` yields host batches
         (images u8, labels u8, orig_hw); `augment_fn(key, batch)` is the
-        device augmentation graph."""
+        device augmentation graph.
+
+        val_data: per-epoch validation (reference ModelCheckpoint monitor
+        val_Jaccard, train.py:52-58). eval_data + eval_every N: periodic
+        full-mIOU online eval with best-mIOU checkpoints (reference
+        EvalCallBack, common/callbacks.py:33-53). ckpt_manager: a
+        utils.checkpoint.CheckpointManager handling epoch/eval-best
+        retention; checkpoint_cb: custom hook called on improved epochs.
+        History records stream to <log_dir>/history.jsonl.
+        """
         state = initial_state
         params, batch_stats = None, None
         if state is not None:
@@ -280,7 +292,7 @@ class Trainer:
 
             for epoch in range(stage.epochs):
                 t0 = time.time()
-                n_steps, loss_sum, jac_sum = 0, 0.0, 0.0
+                step_metrics: list[dict] = []
                 for b, host_batch in enumerate(
                     train_data.epoch_batches(), start=0
                 ):
@@ -304,12 +316,17 @@ class Trainer:
                         self.mesh, (images, labels, weights)
                     )
                     state, m = train_step(state, images, labels, weights, lr_scale)
-                    n_steps += 1
-                    loss_sum += float(m["loss"])
-                    jac_sum += float(m.get("jaccard", 0.0))
+                    # keep metrics as device arrays — a float() here would
+                    # force a sync every step and break dispatch pipelining
+                    step_metrics.append(m)
 
-                epoch_loss = loss_sum / max(n_steps, 1)
-                epoch_jac = jac_sum / max(n_steps, 1)
+                n_steps = len(step_metrics)
+                epoch_loss = float(
+                    np.mean([float(m["loss"]) for m in step_metrics])
+                ) if step_metrics else 0.0
+                epoch_jac = float(
+                    np.mean([float(m.get("jaccard", 0.0)) for m in step_metrics])
+                ) if step_metrics else 0.0
                 record = {
                     "epoch": epoch_base + epoch,
                     "loss": epoch_loss,
@@ -331,11 +348,33 @@ class Trainer:
                     record["val_miou"] = val.miou
                     monitored = val.miou
 
+                # online full-mIOU eval every N epochs + best-mIOU eval
+                # checkpoint (reference EvalCallBack, callbacks.py:33-53)
+                global_epoch = epoch_base + epoch
+                if (
+                    eval_data is not None and eval_every
+                    and (global_epoch + 1) % eval_every == 0
+                ):
+                    ev = self.evaluate(state, eval_data, stage.average_type)
+                    record["eval_miou"] = ev.miou
+                    if ev.miou > self._best_eval_miou:
+                        self._best_eval_miou = ev.miou
+                        if ckpt_manager is not None:
+                            ckpt_manager.save_eval_best(
+                                self._eval_variables(state, stage),
+                                global_epoch, ev.miou,
+                            )
+
                 if monitored > best_metric:
                     best_metric = monitored
                     plateau_wait = early_wait = 0
                     if checkpoint_cb is not None:
                         checkpoint_cb(state, record)
+                    if ckpt_manager is not None:
+                        ckpt_manager.save_epoch(
+                            self._eval_variables(state, stage),
+                            global_epoch, record,
+                        )
                 else:
                     plateau_wait += 1
                     early_wait += 1
@@ -349,11 +388,34 @@ class Trainer:
                         return state
 
                 self.history.append(record)
+                self._log_record(record)
 
             params = state.params
             batch_stats = state.batch_stats
             epoch_base += stage.epochs
         return state
+
+    def _eval_variables(self, state: TrainState, stage: StageConfig):
+        """Checkpointable variables with averaged weights when active
+        (tfa AverageModelCheckpoint, reference train.py:198-211)."""
+        return {
+            "params": opt_lib.average_params(
+                stage.average_type, state.avg, state.params
+            ),
+            "batch_stats": state.batch_stats,
+        }
+
+    def _log_record(self, record: dict) -> None:
+        """Append one JSON line per epoch to <log_dir>/history.jsonl —
+        the structured-logging stand-in for the reference's TensorBoard
+        scalars (train.py:51)."""
+        import json
+
+        try:
+            with open(os.path.join(self.log_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+        except OSError:
+            pass
 
     # -- eval ----------------------------------------------------------------
 

@@ -1,0 +1,118 @@
+"""End-to-end tests for the DeepLab inference API and the eval pipeline
+(reference deeplab.py / eval.py flows), on the CPU mesh with a synthetic
+dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+NUM_CLASSES = 4
+HW = 32
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evds")
+    os.makedirs(root / "images")
+    os.makedirs(root / "labels")
+    rng = np.random.RandomState(1)
+    ids = []
+    for i in range(4):
+        img = rng.randint(0, 255, size=(48, 52, 3), dtype=np.uint8)
+        lbl = rng.randint(0, NUM_CLASSES, size=(48, 52), dtype=np.uint8)
+        Image.fromarray(img).save(root / "images" / f"s{i}.jpg")
+        Image.fromarray(lbl).save(root / "labels" / f"s{i}.png")
+        ids.append(f"s{i}")
+    return str(root), ids
+
+
+def test_deeplab_segment_image(tmp_path):
+    from deeplabv3p_tpu.inference import DeepLab
+
+    deeplab = DeepLab(
+        model_type="mobilenetv2_lite",
+        class_names=["background", "a", "b", "c"],
+        model_input_shape=(HW, HW),
+    )
+    rng = np.random.RandomState(0)
+    image = Image.fromarray(
+        rng.randint(0, 255, size=(40, 56, 3), dtype=np.uint8)
+    )
+    result = deeplab.segment_image(image)
+    assert result.size[0] > 0 and result.size[1] > 0
+
+    # predict() returns a mask at original size with valid class ids
+    from deeplabv3p_tpu.inference import preprocess_image
+
+    data = preprocess_image(image, (HW, HW))
+    mask = deeplab.predict(data, (40, 56))
+    assert mask.shape == (40, 56)
+    assert set(np.unique(mask)).issubset(set(range(NUM_CLASSES)))
+
+
+def test_deeplab_with_crf():
+    from deeplabv3p_tpu.inference import DeepLab, preprocess_image
+
+    deeplab = DeepLab(
+        model_type="mobilenetv2_lite",
+        class_names=["background", "a", "b", "c"],
+        model_input_shape=(HW, HW),
+        do_crf=True,
+    )
+    rng = np.random.RandomState(0)
+    image = Image.fromarray(
+        rng.randint(0, 255, size=(HW, HW, 3), dtype=np.uint8)
+    )
+    data = preprocess_image(image, (HW, HW))
+    mask = deeplab.predict(data, (HW, HW))
+    assert mask.shape == (HW, HW)
+
+
+def test_eval_miou_pipeline(dataset_dir, tmp_path, capsys):
+    import jax
+
+    from deeplabv3p_tpu.eval import eval_miou
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    root, ids = dataset_dir
+    model = build_deeplab_model("mobilenetv2_lite", NUM_CLASSES,
+                                output_stride=16)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3), jnp.float32)
+    )
+    m = eval_miou(
+        model, variables, root, ids,
+        class_names=["background", "a", "b", "c"],
+        model_input_shape=(HW, HW), batch_size=2,
+        save_result=True, plots=True, out_dir=str(tmp_path / "result"),
+    )
+    assert 0.0 <= m.miou <= 1.0
+    out = capsys.readouterr().out
+    assert "mIoU=" in out and "FWIoU=" in out
+    # result artifacts written
+    assert os.path.exists(tmp_path / "result" / "mIOU.png")
+    assert os.path.exists(tmp_path / "result" / "confusion_matrix.png")
+    assert len(os.listdir(tmp_path / "result" / "labels")) == 4
+    assert len(os.listdir(tmp_path / "result" / "segmentation")) == 4
+
+
+def test_onboard_scorer_perfect_prediction(dataset_dir, tmp_path):
+    """PNG-vs-PNG scorer (N5 equivalent): GT scored against itself must
+    give mIoU == 1."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.evaluation.onboard_segment_eval import eval_miou_pngs
+
+    root, ids = dataset_dir
+    gt = os.path.join(root, "labels")
+    m = eval_miou_pngs(
+        ids, gt, gt, ["background", "a", "b", "c"], (48, 52)
+    )
+    assert m.miou == 1.0
+    assert m.pixel_acc == 1.0

@@ -131,3 +131,22 @@ def test_freeze_mask_levels():
     assert not any(jax.tree_util.tree_leaves(m2["backbone"]))
     assert not any(jax.tree_util.tree_leaves(m2["aspp"]))
     assert all(jax.tree_util.tree_leaves(m2["conv_upsample"]))
+
+
+def test_icnr_subpixel_blocks_identical():
+    """ICNR-initialized Subpixel must emit identical r x r output blocks
+    at init (checkerboard-free property, reference layers.py:227-253)."""
+    from deeplabv3p_tpu.models.layers import Subpixel
+
+    m = Subpixel(filters=3, kernel_size=1, r=2, use_icnr=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (1, 16, 16, 3)
+    blocks = y.reshape(1, 8, 2, 8, 2, 3)
+    import numpy as np
+    ref = blocks[:, :, :1, :, :1, :]
+    np.testing.assert_allclose(
+        np.asarray(blocks), np.broadcast_to(np.asarray(ref), blocks.shape),
+        rtol=1e-5, atol=1e-6,
+    )
