@@ -21,5 +21,6 @@ __version__ = "0.1.0"
 
 from deeplabv3p_tpu.models.factory import (  # noqa: F401
     build_deeplab_model,
+    build_segmentation_model,
     DEEPLAB_MODEL_REGISTRY,
 )

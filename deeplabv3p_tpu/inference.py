@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from deeplabv3p_tpu.models.factory import build_deeplab_model
+from deeplabv3p_tpu.models.factory import build_segmentation_model
 from deeplabv3p_tpu.postprocess import crf_postprocess, mask_resize
 from deeplabv3p_tpu.utils.config import get_classes
 from deeplabv3p_tpu.utils.checkpoint import load_variables
@@ -64,7 +64,7 @@ class DeepLab:
             "PNG image label only support less than 254 classes."
         )
         self.num_classes = len(self.class_names)
-        self.model = build_deeplab_model(
+        self.model = build_segmentation_model(
             self.model_type,
             self.num_classes,
             output_stride=self.output_stride,

@@ -164,6 +164,37 @@ def build_deeplab_model(
     )
 
 
+def build_segmentation_model(
+    model_type: str,
+    num_classes: int,
+    output_stride: int = 16,
+    use_subpixel: bool = False,
+    dtype: Optional[Any] = None,
+):
+    """Unified factory across the three reference model families:
+    DeepLabV3+ (deeplabv3p/model.py:23-48), UNet (unet/model.py:15-19),
+    Fast-SCNN (fast_scnn/model.py). Every model emits logits at input
+    resolution, so training/eval/inference code is family-agnostic."""
+    if model_type in DEEPLAB_MODEL_REGISTRY:
+        return build_deeplab_model(
+            model_type, num_classes, output_stride=output_stride,
+            use_subpixel=use_subpixel, dtype=dtype,
+        )
+    from deeplabv3p_tpu.models.fast_scnn import (
+        FAST_SCNN_MODEL_REGISTRY, build_fast_scnn_model,
+    )
+    from deeplabv3p_tpu.models.unet import UNET_MODEL_REGISTRY, build_unet_model
+
+    if model_type in UNET_MODEL_REGISTRY:
+        return build_unet_model(model_type, num_classes, dtype=dtype)
+    if model_type in FAST_SCNN_MODEL_REGISTRY:
+        return build_fast_scnn_model(model_type, num_classes, dtype=dtype)
+    raise ValueError(
+        f"This model type is not supported now: {model_type!r}. Available: "
+        f"{sorted(DEEPLAB_MODEL_REGISTRY) + sorted(UNET_MODEL_REGISTRY) + sorted(FAST_SCNN_MODEL_REGISTRY)}"
+    )
+
+
 def make_trainable_mask(params: Any, freeze_level: int) -> Any:
     """Boolean pytree mask (True = trainable) implementing reference freeze
     levels (model.py:106-115):

@@ -15,6 +15,12 @@ is well-defined on TPU's sequential grid.
 
 `confusion_matrix_fused` falls back to interpreter mode off-TPU so tests
 cover the kernel on the CPU mesh.
+
+Measured on TPU v5e (16x512x512x21): 39.6 ms fused vs 38.6 ms for XLA's
+argmax+bincount — parity, not a win; per-call dispatch overhead dominates
+both at this size. Kept as the foundation for the fully-fused eval step
+(logits never leave VMEM) and exercised by tests, but not wired into the
+default eval path.
 """
 
 from __future__ import annotations
@@ -43,7 +49,13 @@ def _kernel(labels_ref, logits_ref, out_ref, *, num_classes: int, bins: int):
 
     logits = logits_ref[...]  # (TILE, C)
     gt = labels_ref[...][:, 0]  # (TILE,)
-    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # first-index tie-break to match XLA argmax exactly (Mosaic's argmax
+    # may pick a different winner on exact float ties)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    pred = jnp.min(
+        jnp.where(logits == row_max, col, logits.shape[-1]), axis=-1
+    ).astype(jnp.int32)
     valid = (gt >= 0) & (gt < num_classes)
     # invalid labels (ignore_index / padding) spill into the last padded
     # bin, which the wrapper drops

@@ -250,6 +250,7 @@ class Trainer:
         val_data=None,
         eval_data=None,
         initial_state: Optional[TrainState] = None,
+        initial_variables: Optional[dict] = None,
         eval_every: int = 0,
         checkpoint_cb=None,
         ckpt_manager=None,
@@ -274,6 +275,11 @@ class Trainer:
         params, batch_stats = None, None
         if state is not None:
             params, batch_stats = state.params, state.batch_stats
+        elif initial_variables is not None:
+            # resume from a checkpoint / imported h5 (reference
+            # --weights_path, train.py:256-257)
+            params = initial_variables["params"]
+            batch_stats = initial_variables["batch_stats"]
 
         epoch_base = 0
         for stage in stages:

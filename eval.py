@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from deeplabv3p_tpu.eval import eval_miou
-from deeplabv3p_tpu.models.factory import build_deeplab_model
+from deeplabv3p_tpu.models.factory import build_segmentation_model
 from deeplabv3p_tpu.utils.checkpoint import load_variables
 from deeplabv3p_tpu.utils.config import get_classes, get_data_list
 
@@ -27,11 +27,23 @@ def main(args):
     num_classes = len(class_names)
     input_shape = (args.model_input_shape, args.model_input_shape)
 
-    model = build_deeplab_model(
+    model = build_segmentation_model(
         args.model_type, num_classes, output_stride=args.output_stride,
         dtype=jnp.bfloat16,
     )
-    if args.model_path.endswith(".h5"):
+    if args.model_path.endswith(".shlo"):
+        # exported StableHLO artifact: weights baked in; wrap as a
+        # pseudo-model so eval_miou's apply() path works unchanged
+        from deeplabv3p_tpu.export.stablehlo import load_exported
+
+        fn = load_exported(args.model_path)
+
+        class _ExportedModel:
+            def apply(self, variables, images, train=False):
+                return fn(images)
+
+        model, variables = _ExportedModel(), {}
+    elif args.model_path.endswith(".h5"):
         # reference Keras checkpoints import by layer name
         from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
 

@@ -42,11 +42,12 @@ def test_mobilenetv2_body_output_stride(output_stride):
 @pytest.mark.parametrize("model_type", sorted(DEEPLAB_MODEL_REGISTRY))
 def test_deeplab_logits_shape(model_type):
     num_classes = 7
+    small = 32  # smallest multiple of 32: keeps 17-variant sweep fast on CPU
     model = build_deeplab_model(model_type, num_classes, output_stride=16)
-    x = jnp.zeros((2, INPUT, INPUT, 3), jnp.float32)
+    x = jnp.zeros((1, small, small, 3), jnp.float32)
     vars_ = model.init(jax.random.PRNGKey(0), x)
     logits = model.apply(vars_, x)
-    assert logits.shape == (2, INPUT, INPUT, num_classes)
+    assert logits.shape == (1, small, small, num_classes)
     assert logits.dtype == jnp.float32
 
 
@@ -67,7 +68,7 @@ _BODY_SPECS = {
 
 
 @pytest.mark.parametrize("name", sorted(_BODY_SPECS))
-@pytest.mark.parametrize("output_stride", [8, 16, 32])
+@pytest.mark.parametrize("output_stride", [8, 32])
 def test_backbone_body_os(name, output_stride):
     import importlib
 

@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from deeplabv3p_tpu.data.augment import AugmentConfig, augment_batch
 from deeplabv3p_tpu.data.pipeline import SegmentationDataset
 from deeplabv3p_tpu.losses import get_loss_fn
-from deeplabv3p_tpu.models.factory import build_deeplab_model
-from deeplabv3p_tpu.optimizers import average_params
+from deeplabv3p_tpu.models.factory import build_segmentation_model
 from deeplabv3p_tpu.parallel.mesh import make_mesh
 from deeplabv3p_tpu.train import StageConfig, Trainer
 from deeplabv3p_tpu.utils.checkpoint import CheckpointManager
@@ -64,7 +63,7 @@ def main(args):
         args.loss, weighted_type=args.weighted_type, class_weights=class_weights
     )
 
-    model = build_deeplab_model(
+    model = build_segmentation_model(
         args.model_type, num_classes, output_stride=args.output_stride,
         dtype=jnp.bfloat16 if args.mixed_precision else None,
     )
@@ -106,16 +105,31 @@ def main(args):
             jnp.asarray(orig_hw), aug_cfg, num_classes=num_classes,
         )
 
-    def checkpoint_cb(state, record):
-        variables = {
-            "params": average_params(None, state.avg, state.params),
-            "batch_stats": state.batch_stats,
-        }
-        ckpt.save_epoch(variables, record["epoch"], record)
+    initial_variables = None
+    if args.weights_path:
+        if args.weights_path.endswith(".h5"):
+            import jax
+
+            from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+            x = jnp.zeros((1, *input_shape, 3), jnp.float32)
+            initial_variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0), x
+            )
+            initial_variables = load_keras_h5_weights(
+                args.weights_path, initial_variables
+            )
+        else:
+            from deeplabv3p_tpu.utils.checkpoint import load_variables
+
+            initial_variables = load_variables(args.weights_path)
 
     state = trainer.fit(
         train_ds, stages, augment_fn=augment_fn, val_data=val_ds,
-        checkpoint_cb=checkpoint_cb,
+        eval_data=val_ds if args.eval_online else None,
+        eval_every=args.eval_epoch_interval if args.eval_online else 0,
+        ckpt_manager=ckpt,
+        initial_variables=initial_variables,
     )
     final = {"params": state.params, "batch_stats": state.batch_stats}
     path = ckpt.save_final(final)
@@ -154,6 +168,9 @@ def parse_args():
     p.add_argument("--transfer_epoch", type=int, default=10)
     p.add_argument("--total_epoch", type=int, default=150)
     p.add_argument("--freeze_level", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument("--eval_online", action="store_true",
+                   help="periodic full-mIOU eval (reference --eval_online)")
+    p.add_argument("--eval_epoch_interval", type=int, default=10)
     p.add_argument("--num_devices", type=int, default=0,
                    help="devices in the data mesh (0 = all)")
     p.add_argument("--mixed_precision", action="store_true", default=True)
