@@ -50,6 +50,8 @@ class DeeplabV3Plus(nn.Module):
     output_stride: int = 16
     lite: bool = False
     use_subpixel: bool = False
+    remat: bool = False  # rematerialize backbone activations (OS8 @ 512
+    # memory relief, SURVEY.md §7 "GlobalPool-in-graph + OS=8 memory")
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -71,9 +73,28 @@ class DeeplabV3Plus(nn.Module):
         backbone_train = train and freeze_level < 1
         head_train = train and freeze_level < 2
 
-        feat, skip = self.backbone_fn(
-            output_stride=self.output_stride, dtype=self.dtype, name="backbone"
-        )(x, train=backbone_train)
+        if self.remat:
+            # trade FLOPs for HBM: recompute backbone activations in the
+            # backward pass (flax lifted jax.checkpoint); needed for the
+            # memory-heavy OS8 @ 512 configs (SURVEY.md §7). The param
+            # scope stays 'backbone', so checkpoints are interchangeable
+            # with the non-remat model.
+            import functools
+
+            if isinstance(self.backbone_fn, functools.partial):
+                cls, kw = self.backbone_fn.func, dict(self.backbone_fn.keywords)
+            else:
+                cls, kw = self.backbone_fn, {}
+            remat_cls = nn.remat(cls, static_argnums=(2,))
+            feat, skip = remat_cls(
+                output_stride=self.output_stride, dtype=self.dtype,
+                name="backbone", **kw,
+            )(x, backbone_train)
+        else:
+            feat, skip = self.backbone_fn(
+                output_stride=self.output_stride, dtype=self.dtype,
+                name="backbone",
+            )(x, train=backbone_train)
 
         if self.lite:
             # Lite head: ASPP-Lite, no decoder (reference
@@ -143,6 +164,7 @@ def build_deeplab_model(
     num_classes: int,
     output_stride: int = 16,
     use_subpixel: bool = False,
+    remat: bool = False,
     dtype: Optional[Any] = None,
 ) -> DeeplabV3Plus:
     """Construct a DeepLabV3+ model (reference get_deeplabv3p_model,
@@ -160,6 +182,7 @@ def build_deeplab_model(
         output_stride=output_stride,
         lite=lite,
         use_subpixel=use_subpixel,
+        remat=remat,
         dtype=dtype,
     )
 
@@ -169,6 +192,7 @@ def build_segmentation_model(
     num_classes: int,
     output_stride: int = 16,
     use_subpixel: bool = False,
+    remat: bool = False,
     dtype: Optional[Any] = None,
 ):
     """Unified factory across the three reference model families:
@@ -178,7 +202,7 @@ def build_segmentation_model(
     if model_type in DEEPLAB_MODEL_REGISTRY:
         return build_deeplab_model(
             model_type, num_classes, output_stride=output_stride,
-            use_subpixel=use_subpixel, dtype=dtype,
+            use_subpixel=use_subpixel, remat=remat, dtype=dtype,
         )
     from deeplabv3p_tpu.models.fast_scnn import (
         FAST_SCNN_MODEL_REGISTRY, build_fast_scnn_model,

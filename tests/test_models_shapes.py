@@ -151,3 +151,31 @@ def test_icnr_subpixel_blocks_identical():
         np.asarray(blocks), np.broadcast_to(np.asarray(ref), blocks.shape),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_remat_matches_plain_gradients():
+    """Backbone rematerialization must not change math — grads identical
+    (SURVEY.md §7 OS8 memory hard part)."""
+    import numpy as np
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 3))
+    grads = []
+    for remat in (False, True):
+        model = build_deeplab_model(
+            "mobilenetv2_lite", 4, output_stride=16, remat=remat
+        )
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(logits**2)
+
+        grads.append(jax.grad(loss)(vars_["params"]))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

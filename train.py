@@ -65,6 +65,7 @@ def main(args):
 
     model = build_segmentation_model(
         args.model_type, num_classes, output_stride=args.output_stride,
+        remat=args.remat,
         dtype=jnp.bfloat16 if args.mixed_precision else None,
     )
     mesh = make_mesh(args.num_devices if args.num_devices > 0 else None)
@@ -174,6 +175,8 @@ def parse_args():
     p.add_argument("--num_devices", type=int, default=0,
                    help="devices in the data mesh (0 = all)")
     p.add_argument("--mixed_precision", action="store_true", default=True)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations (OS8 memory)")
     p.add_argument("--log_dir", default="logs/000")
     return p.parse_args()
 
