@@ -104,6 +104,9 @@ class SegmentationDataset:
         self.num_workers = num_workers
         self._rng = np.random.RandomState(seed)
         self._order = np.arange(len(self.image_paths))
+        # persistent decode pool: per-epoch executor spin-up costs real
+        # latency on short epochs
+        self._pool = cf.ThreadPoolExecutor(num_workers)
 
     def __len__(self) -> int:
         return len(self.image_paths) // self.batch_size
@@ -128,19 +131,17 @@ class SegmentationDataset:
         image, label = _resize_pair(image, label, self.input_shape)
         return image, label, orig_hw
 
-    def _make_batch(self, indices: np.ndarray, pool: cf.Executor):
-        samples = list(pool.map(self._load_sample, indices))
-        images = np.stack([s[0] for s in samples])
-        labels = np.stack([s[1] for s in samples])
-        orig_hw = np.stack([s[2] for s in samples])
-        return images, labels, orig_hw
-
     def epoch_batches(
         self, prefetch: int = 2
     ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (images u8 (B,H,W,3), labels u8 (B,H,W), orig_hw (B,2))
         with background prefetch. Shuffles at epoch start (reference
-        shuffles at epoch end, data.py:156-160 — same distribution)."""
+        shuffles at epoch end, data.py:156-160 — same distribution).
+
+        Sample decodes for up to `prefetch + 1` batches are in flight at
+        once (windowed futures over the persistent pool), so decoding of
+        batch b+1 overlaps the consumer's device work on batch b.
+        """
         order = self._order.copy()
         if self.shuffle:
             self._rng.shuffle(order)
@@ -158,13 +159,32 @@ class SegmentationDataset:
             return False
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    if not _put(self._make_batch(idx, pool)):
-                        return
+            window = prefetch + 1
+            pending: list[list] = []
+            next_submit = 0
+
+            def submit(b):
+                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                return [self._pool.submit(self._load_sample, i) for i in idx]
+
+            while next_submit < min(window, n_batches):
+                pending.append(submit(next_submit))
+                next_submit += 1
+            emitted = 0
+            while emitted < n_batches and not stop.is_set():
+                futures = pending.pop(0)
+                samples = [f.result() for f in futures]
+                batch = (
+                    np.stack([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]),
+                    np.stack([s[2] for s in samples]),
+                )
+                if not _put(batch):
+                    return
+                emitted += 1
+                if next_submit < n_batches:
+                    pending.append(submit(next_submit))
+                    next_submit += 1
             _put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -141,3 +141,35 @@ def test_full_coverage_of_param_tree(model_and_vars, tmp_path):
         assert name, f"empty keras name for {keys}"
         assert "bn" not in name.split("_"), keys
         assert "dw" not in name.split("_"), keys
+
+
+@pytest.mark.parametrize("model_type", [
+    "xception", "resnet50", "mobilenetv3large", "mobilenetv3small",
+    "peleenet", "ghostnet", "mobilevit_s",
+])
+def test_layer_name_mapping_all_backbones(model_type):
+    """Every param leaf of every backbone family must map to a clean Keras
+    layer name (no structural scopes leaking). Uses eval_shape, so the
+    whole registry checks in seconds."""
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    model = build_deeplab_model(model_type, 5, output_stride=16)
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    wrappers = {"bn", "dw", "c", "mha"}
+    for path, _ in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        name = keras_layer_name(keys[1:-1])
+        assert name, f"empty keras name for {keys}"
+        assert "--" not in name, (model_type, keys, name)
+        # when the leaf's enclosing scope is a structural wrapper, it must
+        # have been stripped: the name equals the mapping of the parent
+        # path (note: legit Keras names like 'bn_conv1'/'bn_dw' contain
+        # these substrings — only the trailing wrapper scope is stripped)
+        if keys[-2] in wrappers:
+            assert name == keras_layer_name(keys[1:-2]), (model_type, keys)
+            assert not name.endswith("_" + keys[-2]) or keys[-2] == "dw", (
+                model_type, keys, name,
+            )
