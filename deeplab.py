@@ -48,9 +48,24 @@ def main(args):
         do_crf=args.do_crf,
     )
     if args.dump_model:
-        from deeplabv3p_tpu.utils.checkpoint import save_variables
+        # reference dump_model_file (deeplab.py:112-120): the inference
+        # interchange artifact. '.shlo' exports the full program
+        # (StableHLO, weights baked in); '.ckpt' saves the variables.
+        if args.output_model_file.endswith(".shlo"):
+            from deeplabv3p_tpu.export.stablehlo import (
+                export_model,
+                save_exported,
+            )
 
-        save_variables(args.output_model_file, deeplab.variables)
+            exported = export_model(
+                deeplab.model, deeplab.variables,
+                deeplab.model_input_shape,
+            )
+            save_exported(exported, args.output_model_file)
+        else:
+            from deeplabv3p_tpu.utils.checkpoint import save_variables
+
+            save_variables(args.output_model_file, deeplab.variables)
         print(f"dumped inference model to {args.output_model_file}")
         return
     if args.image:

@@ -200,3 +200,18 @@ def test_model_statistics():
     )
     assert n_params > 1e6  # MobileNetV2 backbone ~2M params
     assert flops > 1e7 or np.isnan(flops)
+
+
+def test_step_timer_summary():
+    import time
+
+    from deeplabv3p_tpu.utils.profiler import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            time.sleep(0.002)
+    s = t.summary()
+    assert s["steps"] == 3  # warmup step skipped
+    assert s["mean_ms"] >= 1.5
+    assert s["p90_ms"] >= s["p50_ms"]
