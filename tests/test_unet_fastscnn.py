@@ -8,7 +8,7 @@ import pytest
 from deeplabv3p_tpu.models.fast_scnn import build_fast_scnn_model
 from deeplabv3p_tpu.models.unet import build_unet_model
 
-INPUT = 64
+INPUT = 32
 NUM_CLASSES = 6
 
 
