@@ -116,3 +116,34 @@ def test_onboard_scorer_perfect_prediction(dataset_dir, tmp_path):
     )
     assert m.miou == 1.0
     assert m.pixel_acc == 1.0
+
+
+def test_stablehlo_dump_and_runtime_roundtrip(tmp_path):
+    """DeepLab --dump_model .shlo path + native-runtime Runner loading it
+    (the artifact flow the C++ CLI consumes)."""
+    import jax
+    import numpy as np
+
+    from deeplabv3p_tpu.export.stablehlo import export_model, save_exported
+    from deeplabv3p_tpu.inference import DeepLab
+    from deeplabv3p_tpu.runtime import Runner
+
+    deeplab = DeepLab(
+        model_type="mobilenetv2_lite",
+        class_names=["background", "a", "b", "c"],
+        model_input_shape=(HW, HW),
+    )
+    path = str(tmp_path / "m.shlo")
+    exported = export_model(
+        deeplab.model, deeplab.variables, (HW, HW)
+    )
+    save_exported(exported, path)
+
+    runner = Runner(path, input_height=HW, input_width=HW)
+    data = np.zeros((1, HW, HW, 3), np.float32).tobytes()
+    probs_bytes, h, w, c = runner.run_bytes(data, 1, HW, HW)
+    assert (h, w, c) == (HW, HW, NUM_CLASSES)
+    probs = np.frombuffer(probs_bytes, np.float32)
+    np.testing.assert_allclose(
+        probs.reshape(1, HW, HW, NUM_CLASSES).sum(-1), 1.0, atol=1e-3
+    )
