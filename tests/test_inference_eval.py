@@ -147,3 +147,46 @@ def test_stablehlo_dump_and_runtime_roundtrip(tmp_path):
     np.testing.assert_allclose(
         probs.reshape(1, HW, HW, NUM_CLASSES).sum(-1), 1.0, atol=1e-3
     )
+
+
+def test_nonsquare_input_pipeline(tmp_path):
+    """Cityscapes-style non-square inputs (H != W) through loader,
+    augmentation, model, and eval — catches (h, w)/(w, h) mixups."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeplabv3p_tpu.data.augment import AugmentConfig, augment_batch
+    from deeplabv3p_tpu.data.pipeline import SegmentationDataset
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "images")
+    os.makedirs(root / "labels")
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        img = rng.randint(0, 255, size=(100, 220, 3), dtype=np.uint8)
+        lbl = rng.randint(0, 3, size=(100, 220), dtype=np.uint8)
+        Image.fromarray(img).save(root / "images" / f"x{i}.jpg")
+        Image.fromarray(lbl).save(root / "labels" / f"x{i}.png")
+
+    h, w = 32, 64  # non-square model input
+    ds = SegmentationDataset(
+        str(root), ["x0", "x1"], batch_size=2, num_classes=3,
+        input_shape=(h, w), augment=True, num_workers=2,
+    )
+    images, labels, orig = next(iter(ds.epoch_batches()))
+    assert images.shape == (2, h, w, 3)
+    assert labels.shape == (2, h, w)
+    assert (orig == [100.0, 220.0]).all()
+
+    aug_img, aug_lbl, wts = augment_batch(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(orig), AugmentConfig(), num_classes=3,
+    )
+    assert aug_img.shape == (2, h, w, 3)
+    assert aug_lbl.shape == (2, h, w)
+
+    model = build_deeplab_model("mobilenetv2_lite", 3, output_stride=16)
+    vars_ = model.init(jax.random.PRNGKey(0), aug_img)
+    logits = model.apply(vars_, aug_img)
+    assert logits.shape == (2, h, w, 3)
