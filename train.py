@@ -57,8 +57,24 @@ def main(args):
 
     class_weights = None
     if args.weighted_type == "balanced":
+        # static dataset-level class weights: load the cached file or
+        # compute + save it (reference calculate_weigths_labels flow,
+        # common/utils.py:92-126; train.py loads via load_class_weights)
         wpath = os.path.join(args.dataset_path, "classes_weights.txt")
-        class_weights = load_class_weights(wpath)
+        if os.path.exists(wpath):
+            class_weights = load_class_weights(wpath)
+        else:
+            from deeplabv3p_tpu.utils.config import calculate_weights_labels
+
+            print("computing balanced class weights over the dataset ...")
+            stat_ds = SegmentationDataset(
+                args.dataset_path, train_list, batch_size=args.batch_size,
+                num_classes=num_classes, input_shape=input_shape,
+                augment=False, shuffle=False,
+            )
+            class_weights = calculate_weights_labels(
+                stat_ds, num_classes, save_path=wpath
+            )
     loss_fn = get_loss_fn(
         args.loss, weighted_type=args.weighted_type, class_weights=class_weights
     )
