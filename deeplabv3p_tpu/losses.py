@@ -125,20 +125,28 @@ def reduce_loss(
 
 
 def l2_penalty(params: Any, factor: float = 2e-5) -> jax.Array:
-    """Sum of L2 penalties over conv kernels & biases.
+    """Sum of L2 penalties over conv kernels & conv biases.
 
-    Matches the reference's per-layer kernel/bias regularizers
-    (layers.py:14-41): applied to every conv `kernel` and conv `bias`,
-    but NOT to BatchNorm scale/bias (BN modules are identified by having a
-    `scale` sibling).
+    Matches the reference's per-layer kernel/bias regularizers, which are
+    attached only to the Deeplab*Conv2D wrappers (layers.py:14-41): conv
+    kernels are 4-D, so 2-D/3-D Dense kernels (MobileViT transformer FF
+    and MHA projections — plain Keras layers with no regularizer in the
+    reference) and BN/LN scale/bias are excluded. A conv `bias` is
+    identified by its 4-D `kernel` sibling.
     """
     total = 0.0
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        keys = [getattr(p, "key", str(p)) for p in path]
-        leaf_name = keys[-1]
-        if leaf_name == "kernel":
-            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
-        elif leaf_name == "bias" and "bn" not in [k.lower() for k in keys[:-1]]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    # collect scopes whose kernel is convolutional (4-D)
+    conv_scopes = {
+        tuple(getattr(p, "key", str(p)) for p in path[:-1])
+        for path, leaf in flat
+        if getattr(path[-1], "key", None) == "kernel" and leaf.ndim == 4
+    }
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if keys[:-1] not in conv_scopes:
+            continue
+        if keys[-1] in ("kernel", "bias"):
             total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
     return factor * total
 

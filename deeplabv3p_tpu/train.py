@@ -163,6 +163,7 @@ class Trainer:
         loss_fn,
         *,
         use_sample_weights: bool = False,
+        l2_factor: float = 2e-5,
         mesh=None,
         log_dir: str = "logs/000",
         seed: int = 0,
@@ -171,6 +172,9 @@ class Trainer:
         self.num_classes = num_classes
         self.loss_fn = loss_fn
         self.use_sample_weights = use_sample_weights
+        # reference attaches L2 only to its conv wrappers; UNet models
+        # have none (unet/models/unet.py uses plain Conv2D) — pass 0.0
+        self.l2_factor = l2_factor
         self.mesh = mesh if mesh is not None else make_mesh()
         self.log_dir = log_dir
         self.seed = seed
@@ -222,6 +226,7 @@ class Trainer:
             self.loss_fn,
             freeze_level=stage.freeze_level,
             use_sample_weights=self.use_sample_weights,
+            l2_factor=self.l2_factor,
             average_type=stage.average_type,
         )
         if self.mesh.size == 1:

@@ -88,6 +88,8 @@ def main(args):
     trainer = Trainer(
         model, num_classes, loss_fn,
         use_sample_weights=(args.weighted_type == "adaptive"),
+        # UNet family carries no conv regularizers in the reference
+        l2_factor=0.0 if args.model_type.startswith("unet") else 2e-5,
         mesh=mesh, log_dir=args.log_dir,
     )
 
