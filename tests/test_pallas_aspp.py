@@ -58,3 +58,21 @@ def test_fused_batch_dim():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w_), rtol=1e-4, atol=1e-4
         )
+
+
+def test_fused_aspp_module_matches_standard():
+    """ASPP fused-inference path must reproduce the standard path from the
+    SAME variables (checkpoints unaffected)."""
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    x = jnp.asarray(RNG.randn(1, 64, 64, 3).astype(np.float32))
+    std = build_deeplab_model("mobilenetv2", 5, output_stride=16)
+    fused = build_deeplab_model(
+        "mobilenetv2", 5, output_stride=16, fused_aspp=True
+    )
+    variables = std.init(jax.random.PRNGKey(0), x)
+    out_std = std.apply(variables, x, train=False)
+    out_fused = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_std), rtol=2e-4, atol=2e-4
+    )
