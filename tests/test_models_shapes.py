@@ -173,16 +173,43 @@ def test_icnr_subpixel_blocks_identical():
     )
 
 
+def _make_stub_body():
+    """Tiny two-conv backbone exercising the factory's remat wiring
+    without a full MobileNet compile (keeps this test ~10x faster)."""
+    import flax.linen as nn
+
+    from deeplabv3p_tpu.models.layers import BatchNorm, _conv
+
+    class StubBody(nn.Module):
+        output_stride: int = 32
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = _conv(8, 3, strides=4, name="c0", dtype=self.dtype)(x)
+            x = BatchNorm(dtype=self.dtype, name="c0_BN")(x, train=train)
+            skip = x
+            s = self.output_stride // 4
+            x = _conv(16, 3, strides=s, name="c1", dtype=self.dtype)(x)
+            return x, skip
+
+    return StubBody
+
+
 def test_remat_matches_plain_gradients():
     """Backbone rematerialization must not change math — grads identical
     (SURVEY.md §7 OS8 memory hard part)."""
     import numpy as np
 
+    from deeplabv3p_tpu.models.factory import DeeplabV3Plus
+
+    stub = _make_stub_body()
     x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 3))
     grads = []
     for remat in (False, True):
-        model = build_deeplab_model(
-            "mobilenetv2_lite", 4, output_stride=32, remat=remat
+        model = DeeplabV3Plus(
+            backbone_fn=stub, num_classes=4, output_stride=32, lite=True,
+            remat=remat,
         )
         vars_ = model.init(jax.random.PRNGKey(0), x)
 
