@@ -168,3 +168,50 @@ def _collect_sibling_names(variables: Any, keys: tuple) -> set:
     for k in keys[:-1]:
         node = node[k]
     return set(node.keys())
+
+
+def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
+    """Export a flax variables pytree as a Keras-layout h5 file —
+    the inverse of `load_keras_h5_weights`, so models trained here can be
+    consumed by reference-ecosystem tooling (whole-model h5 is the
+    reference's interchange format, eval.py:566-571).
+
+    Layout: `model_weights/<layer path...>/<weight>:0`, with the Keras
+    weight-name and kernel-layout conventions (depthwise kernels
+    transposed back to (H, W, C, 1))."""
+    import h5py
+
+    import jax
+
+    leaf_to_keras = {
+        "scale": "gamma:0",
+        "mean": "moving_mean:0",
+        "var": "moving_variance:0",
+    }
+
+    with h5py.File(h5_path, "w") as f:
+        mw = f.create_group("model_weights")
+        for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+            keys = tuple(getattr(p, "key", str(p)) for p in path)
+            module_path, leaf_name = keys[1:-1], keys[-1]
+            lname = keras_layer_name(module_path)
+            is_bn = "scale" in _collect_sibling_names(variables, keys)
+            is_dw = module_path and module_path[-1] == "dw"
+
+            if leaf_name == "kernel":
+                wname = "depthwise_kernel:0" if is_dw else "kernel:0"
+            elif leaf_name == "bias":
+                wname = "beta:0" if is_bn else "bias:0"
+            elif leaf_name in leaf_to_keras:
+                wname = leaf_to_keras[leaf_name]
+            else:
+                continue  # non-Keras leaf (e.g. quantized scales)
+
+            value = np.asarray(leaf)
+            if wname == "depthwise_kernel:0":
+                value = value.transpose(0, 1, 3, 2)  # (H,W,1,C)→(H,W,C,1)
+            # Keras nests '<layer>/<layer>/<weight>:0'
+            dataset_path = f"{lname}/{lname}/{wname}"
+            if dataset_path in mw:
+                continue
+            mw.create_dataset(dataset_path, data=value)

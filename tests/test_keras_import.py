@@ -173,3 +173,25 @@ def test_layer_name_mapping_all_backbones(model_type):
             assert not name.endswith("_" + keys[-2]) or keys[-2] == "dw", (
                 model_type, keys, name,
             )
+
+
+def test_h5_export_import_roundtrip(model_and_vars, tmp_path):
+    """flax → Keras h5 → flax roundtrip must be lossless (interchange
+    with the reference toolchain in both directions)."""
+    from deeplabv3p_tpu.utils.keras_import import (
+        load_keras_h5_weights,
+        save_keras_h5_weights,
+    )
+
+    model, variables = model_and_vars
+    path = str(tmp_path / "export.h5")
+    save_keras_h5_weights(path, variables)
+
+    # reload into a freshly initialized tree; every leaf must round-trip
+    fresh = model.init(jax.random.PRNGKey(42), jnp.zeros((1, 32, 32, 3)))
+    loaded = load_keras_h5_weights(path, fresh, strict=True)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables)[0],
+        jax.tree_util.tree_flatten_with_path(loaded)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
