@@ -99,13 +99,36 @@ def _bilateral_grid_message(
     flat_idx = (ys * gw + xs) * n_bins + bins  # (h, w)
     grid_size = gh * gw * n_bins
 
-    def splat(values):  # (h, w) -> (grid_size,)
-        return jnp.zeros((grid_size,), jnp.float32).at[flat_idx.reshape(-1)].add(
-            values.reshape(-1)
-        )
+    # Splat via chunked one-hot matmuls instead of scatter-add: TPU
+    # scatters serialize, while (G x P) @ (P x C+1) rides the MXU. Pixels
+    # stream in chunks to bound the one-hot tile.
+    flat = flat_idx.reshape(-1)
+    n_pix = flat.shape[0]
+    chunk = 8192
+    n_chunks = -(-n_pix // chunk)
+    pad = n_chunks * chunk - n_pix
+    flat_p = jnp.pad(flat, (0, pad), constant_values=grid_size)  # spill bin
+    vals = jnp.concatenate(
+        [q.reshape(n_pix, c), jnp.ones((n_pix, 1), jnp.float32)], axis=-1
+    )
+    vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
 
-    q_grid = jax.vmap(splat, in_axes=2, out_axes=1)(q)  # (grid, C)
-    w_grid = splat(jnp.ones((h, w), jnp.float32))  # (grid,)
+    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, grid_size), 1)
+
+    def body(carry, inp):
+        idx_c, val_c = inp
+        onehot = (idx_c[:, None] == bin_ids).astype(jnp.float32)
+        return carry + jnp.dot(
+            onehot.T, val_c, preferred_element_type=jnp.float32
+        ), None
+
+    acc0 = jnp.zeros((grid_size, c + 1), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (flat_p.reshape(n_chunks, chunk), vals_p.reshape(n_chunks, chunk, c + 1)),
+    )
+    q_grid = acc[:, :c]  # (grid, C)
+    w_grid = acc[:, c]  # (grid,)
 
     # blur over grid: sigma in grid units
     s_space = sxy / space_step
