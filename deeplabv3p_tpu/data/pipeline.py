@@ -84,6 +84,7 @@ class SegmentationDataset:
         shuffle: bool = True,
         num_workers: int = 8,
         seed: int = 0,
+        drop_remainder: bool = True,
     ):
         dataset_realpath = os.path.realpath(dataset_path)
         self.image_paths = [
@@ -102,6 +103,13 @@ class SegmentationDataset:
         self.histeq_prob = histeq_prob
         self.shuffle = shuffle
         self.num_workers = num_workers
+        # drop_remainder=False pads the final partial batch by repeating
+        # its last sample with labels set to ignore (255) — shapes stay
+        # static and the padding is excluded from metrics/losses. The
+        # reference avoids the problem by evaluating at batch 1
+        # (eval.py:380-386); training matches its floor-division drop
+        # (data.py:52-53).
+        self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
         self._order = np.arange(len(self.image_paths))
         # persistent decode pool: per-epoch executor spin-up costs real
@@ -109,7 +117,10 @@ class SegmentationDataset:
         self._pool = cf.ThreadPoolExecutor(num_workers)
 
     def __len__(self) -> int:
-        return len(self.image_paths) // self.batch_size
+        n = len(self.image_paths)
+        if self.drop_remainder:
+            return n // self.batch_size  # reference data.py:52-53
+        return -(-n // self.batch_size)
 
     @property
     def num_samples(self) -> int:
@@ -186,6 +197,14 @@ class SegmentationDataset:
             while emitted < n_batches and not stop.is_set():
                 futures = pending.pop(0)
                 samples = [f.result() for f in futures]
+                short = self.batch_size - len(samples)
+                if short > 0:
+                    # pad the final partial batch: repeat the last sample
+                    # with labels forced to 255 so the padding is invisible
+                    # to losses and confusion-matrix metrics
+                    img, lbl, hw = samples[-1]
+                    pad_lbl = np.full_like(lbl, 255)
+                    samples = samples + [(img, pad_lbl, hw)] * short
                 batch = (
                     np.stack([s[0] for s in samples]),
                     np.stack([s[1] for s in samples]),

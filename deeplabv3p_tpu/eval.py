@@ -120,7 +120,7 @@ def eval_miou(
     ds = SegmentationDataset(
         dataset_path, data_list, batch_size=batch_size,
         num_classes=num_classes, input_shape=model_input_shape,
-        augment=False, shuffle=False,
+        augment=False, shuffle=False, drop_remainder=False,
     )
 
     @jax.jit
@@ -143,6 +143,8 @@ def eval_miou(
         if do_crf or save_result:
             preds_np = np.asarray(preds)
             for b in range(preds_np.shape[0]):
+                if sample_idx + b >= ds.num_samples:
+                    break  # final-batch padding
                 pred_mask = preds_np[b]
                 if do_crf:
                     pred_mask = crf_postprocess(images_u8[b], pred_mask)

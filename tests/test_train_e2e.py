@@ -137,3 +137,23 @@ def test_frozen_backbone_params_unchanged(dataset_dir):
     # head must have moved
     head_after = np.asarray(state1.params["conv_upsample"]["kernel"])
     assert not np.allclose(head_before, head_after)
+
+
+def test_eval_remainder_not_dropped(dataset_dir):
+    """With drop_remainder=False the final partial batch is padded with
+    ignore labels — every real sample contributes to eval (the reference
+    avoids the issue by batch=1 eval, eval.py:380-386)."""
+    root, ids = dataset_dir  # 8 samples
+    ds = SegmentationDataset(
+        root, ids, batch_size=3, num_classes=NUM_CLASSES,
+        input_shape=(HW, HW), augment=False, shuffle=False,
+        drop_remainder=False, num_workers=2,
+    )
+    assert len(ds) == 3  # ceil(8 / 3)
+    batches = list(ds.epoch_batches())
+    assert len(batches) == 3
+    images, labels, orig = batches[-1]
+    assert images.shape[0] == 3
+    # padded entries carry ignore labels only
+    assert (labels[2] == 255).all()
+    assert not (labels[1] == 255).all()

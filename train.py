@@ -49,7 +49,7 @@ def main(args):
         SegmentationDataset(
             args.dataset_path, val_list, batch_size=args.batch_size,
             num_classes=num_classes, input_shape=input_shape, augment=False,
-            shuffle=False,
+            shuffle=False, drop_remainder=False,
         )
         if val_list
         else None
