@@ -38,11 +38,19 @@ def segment_img_loop(deeplab: DeepLab, output_path=None):
             )
 
 
+def parse_input_shape(spec):
+    parts = str(spec).lower().split("x")
+    if len(parts) == 1:
+        v = int(parts[0])
+        return (v, v)
+    return (int(parts[0]), int(parts[1]))
+
+
 def main(args):
     deeplab = DeepLab(
         model_type=args.model_type,
         classes_path=args.classes_path,
-        model_input_shape=(args.model_input_shape, args.model_input_shape),
+        model_input_shape=parse_input_shape(args.model_input_shape),
         output_stride=args.output_stride,
         weights_path=args.weights_path,
         do_crf=args.do_crf,
@@ -81,7 +89,8 @@ def parse_args():
     p.add_argument("--model_type", default="mobilenetv2_lite")
     p.add_argument("--weights_path", default=None)
     p.add_argument("--classes_path", default="configs/voc_classes.txt")
-    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--model_input_shape", default="512x512",
+                   help="HxW (e.g. 512x512 or 1024x512) or a single int")
     p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
     p.add_argument("--do_crf", action="store_true")
     p.add_argument("--image", action="store_true", help="interactive image mode")

@@ -22,10 +22,19 @@ from deeplabv3p_tpu.utils.checkpoint import load_variables
 from deeplabv3p_tpu.utils.config import get_classes, get_data_list
 
 
+def parse_input_shape(spec):
+    """'512' -> (512, 512); '1024x512' -> (1024, 512)."""
+    parts = str(spec).lower().split("x")
+    if len(parts) == 1:
+        v = int(parts[0])
+        return (v, v)
+    return (int(parts[0]), int(parts[1]))
+
+
 def main(args):
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
-    input_shape = (args.model_input_shape, args.model_input_shape)
+    input_shape = parse_input_shape(args.model_input_shape)
 
     model = build_segmentation_model(
         args.model_type, num_classes, output_stride=args.output_stride,
@@ -69,7 +78,8 @@ def parse_args():
     p.add_argument("--model_path", required=True,
                    help=".ckpt (native) or .h5 (Keras reference) checkpoint")
     p.add_argument("--model_type", default="mobilenetv3large_lite")
-    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--model_input_shape", default="512x512",
+                   help="HxW (e.g. 512x512 or 1024x512) or a single int")
     p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
     p.add_argument("--dataset_path", default="VOC2012/")
     p.add_argument("--dataset_file", default="VOC2012/val.txt")

@@ -32,11 +32,20 @@ from deeplabv3p_tpu.utils.config import (
 )
 
 
+def parse_input_shape(spec):
+    """'512' -> (512, 512); '1024x512' -> (1024, 512)."""
+    parts = str(spec).lower().split("x")
+    if len(parts) == 1:
+        v = int(parts[0])
+        return (v, v)
+    return (int(parts[0]), int(parts[1]))
+
+
 def main(args):
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
     assert num_classes < 254, "PNG label only supports < 254 classes"
-    input_shape = (args.model_input_shape, args.model_input_shape)
+    input_shape = parse_input_shape(args.model_input_shape)
 
     train_list = get_data_list(args.dataset_file)
     val_list = get_data_list(args.val_dataset_file) if args.val_dataset_file else []
@@ -161,7 +170,8 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     # model (reference train.py:253-266)
     p.add_argument("--model_type", default="mobilenetv3large_lite")
-    p.add_argument("--model_input_shape", type=int, default=512)
+    p.add_argument("--model_input_shape", default="512x512",
+                   help="HxW (e.g. 512x512 or 1024x512) or a single int")
     p.add_argument("--output_stride", type=int, default=16, choices=[8, 16, 32])
     p.add_argument("--weights_path", default=None)
     # data
