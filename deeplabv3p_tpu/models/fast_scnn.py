@@ -109,7 +109,10 @@ class FastSCNN(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, freeze_level: int = 0
+    ) -> jax.Array:
+        del freeze_level  # API uniformity (no transfer-freeze for Fast-SCNN)
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)

@@ -72,7 +72,12 @@ class _UNetEncDec(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, freeze_level: int = 0
+    ) -> jax.Array:
+        # freeze_level accepted for API uniformity; the reference's UNet
+        # factory ignores freezing too (unet/model.py:50-59, commented out)
+        del freeze_level
         dt = self.dtype
         conv1 = self._double_conv(x, 64, 1, train)
         p1 = nn.max_pool(conv1, (2, 2), strides=(2, 2))
@@ -127,7 +132,10 @@ class UNetSimple(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, freeze_level: int = 0
+    ) -> jax.Array:
+        del freeze_level  # API uniformity; no freeze semantics for UNet
         dt = self.dtype
         x = _conv(32, 3, strides=2, use_bias=True, name="entry", dtype=dt)(x)
         x = BatchNorm(dtype=dt, name="entry_BN")(x, train=train)

@@ -65,3 +65,47 @@ def test_unknown_model_raises():
         build_unet_model("nope", 3)
     with pytest.raises(ValueError):
         build_fast_scnn_model("nope", 3)
+
+
+def test_trainer_works_across_families(tmp_path):
+    """One Trainer step for UNet and Fast-SCNN — the training engine is
+    model-family agnostic (all models emit logits at input resolution)."""
+    import numpy as np
+    from PIL import Image
+
+    from deeplabv3p_tpu.data.pipeline import SegmentationDataset
+    from deeplabv3p_tpu.losses import get_loss_fn
+    from deeplabv3p_tpu.parallel.mesh import make_mesh
+    from deeplabv3p_tpu.train import StageConfig, Trainer
+
+    import os
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "images")
+    os.makedirs(root / "labels")
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.randint(0, 255, size=(40, 40, 3), dtype=np.uint8)
+        ).save(root / "images" / f"u{i}.jpg")
+        Image.fromarray(
+            rng.randint(0, NUM_CLASSES, size=(40, 40), dtype=np.uint8)
+        ).save(root / "labels" / f"u{i}.png")
+    ds = SegmentationDataset(
+        str(root), [f"u{i}" for i in range(4)], batch_size=4,
+        num_classes=NUM_CLASSES, input_shape=(32, 32), augment=False,
+        num_workers=2,
+    )
+
+    for model_type in ("unet_simple", "fast_scnn"):
+        from deeplabv3p_tpu.models.factory import build_segmentation_model
+
+        model = build_segmentation_model(model_type, NUM_CLASSES)
+        trainer = Trainer(
+            model, NUM_CLASSES, get_loss_fn("crossentropy"),
+            l2_factor=0.0, mesh=make_mesh(4), log_dir=str(tmp_path / "logs"),
+        )
+        stage = StageConfig(optim_type="adam", learning_rate=1e-3, epochs=1)
+        state = trainer.fit(ds, [stage])
+        assert np.isfinite(trainer.history[-1]["loss"]), model_type
+        trainer.history.clear()
