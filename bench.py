@@ -38,17 +38,23 @@ def _median_ms(fn, *args, warmup=3, iters=20):
     return float(np.median(times))
 
 
-def _steady_state_ms(fn, *args, warmup=3, iters=50):
+def _steady_state_ms(chain_fn, x0, warmup=3, iters=50):
     """Pipelined steady-state ms/call: dispatch all, block once. This is
     the serving-relevant number — per-call sync latency through this
     environment's TPU tunnel adds ~20 ms of pure RPC overhead that a real
-    on-host deployment does not pay."""
+    on-host deployment does not pay.
+
+    chain_fn(x) -> (result, next_x): each call's input derives from the
+    previous output INSIDE the same dispatch, so every dispatch carries a
+    distinct argument buffer — immune to the tunnel's duplicate-dispatch
+    caching (see CLAUDE.md / ROUND1_NOTES timing landmine)."""
+    x = x0
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out, x = chain_fn(x)
+    jax.block_until_ready((out, x))
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        out = fn(*args)
+        out, x = chain_fn(x)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) * 1e3 / iters
 
@@ -68,7 +74,14 @@ def bench_inference(model_type: str, hw=512, num_classes=21):
         logits = model.apply(variables, images, train=False)
         return jnp.argmax(logits, axis=-1)
 
-    return _steady_state_ms(predict, x), _median_ms(predict, x)
+    @jax.jit
+    def predict_chain(images):
+        mask = predict(images)
+        # derive a distinct next input on device (cache-proof chaining)
+        nxt = images + mask[..., None].astype(jnp.float32) * 1e-6
+        return mask, nxt
+
+    return _steady_state_ms(predict_chain, x), _median_ms(predict, x)
 
 
 def bench_train_throughput(model_type: str, hw=512, batch=16, num_classes=21):
