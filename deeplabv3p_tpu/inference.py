@@ -71,11 +71,21 @@ class DeepLab:
             fused_aspp=True,  # Pallas fused ASPP depthwise (inference only)
             dtype=jnp.bfloat16,
         )
-        if self.weights_path:
+        if self.weights_path and self.weights_path.endswith(".h5"):
+            # reference Keras checkpoint: import by layer name (the
+            # reference's own load path, deeplab.py:61-78)
+            from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+            x = jnp.zeros((1, *self.model_input_shape, 3), jnp.float32)
+            self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
+            self.variables = load_keras_h5_weights(
+                os.path.expanduser(self.weights_path), self.variables
+            )
+        elif self.weights_path:
             self.variables = load_variables(os.path.expanduser(self.weights_path))
         else:  # random init (smoke/demo use)
             x = jnp.zeros((1, *self.model_input_shape, 3), jnp.float32)
-            self.variables = self.model.init(jax.random.PRNGKey(0), x)
+            self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, images: jax.Array) -> jax.Array:
