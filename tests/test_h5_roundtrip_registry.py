@@ -1,0 +1,63 @@
+"""Full-registry Keras-h5 round-trip (VERDICT round-1 item #1c).
+
+For EVERY model type in the three registries (17+ DeepLab variants, UNet×3,
+Fast-SCNN): flax variables → `save_keras_h5_weights` → strict
+`load_keras_h5_weights` into a differently-seeded init → every leaf
+bit-identical AND the forward pass bit-identical. Fails if any layer-name
+mapping, kernel-layout transpose, or duplicate-name collision drifts for
+any family (the reference's interchange format is whole-model h5,
+/root/reference/eval.py:566-571)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplabv3p_tpu.models.factory import (
+    DEEPLAB_MODEL_REGISTRY,
+    build_segmentation_model,
+)
+from deeplabv3p_tpu.models.fast_scnn import FAST_SCNN_MODEL_REGISTRY
+from deeplabv3p_tpu.models.unet import UNET_MODEL_REGISTRY
+from deeplabv3p_tpu.utils.keras_import import (
+    load_keras_h5_weights,
+    save_keras_h5_weights,
+)
+
+ALL_MODEL_TYPES = (
+    sorted(DEEPLAB_MODEL_REGISTRY)
+    + sorted(UNET_MODEL_REGISTRY)
+    + sorted(FAST_SCNN_MODEL_REGISTRY)
+)
+
+
+@pytest.mark.parametrize("model_type", ALL_MODEL_TYPES)
+def test_h5_roundtrip(model_type, tmp_path):
+    model = build_segmentation_model(model_type, 5, output_stride=16)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    path = str(tmp_path / f"{model_type}.h5")
+    save_keras_h5_weights(path, variables)
+
+    fresh = jax.jit(model.init)(jax.random.PRNGKey(7), x)
+    loaded = load_keras_h5_weights(path, fresh, strict=True)
+
+    orig_flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    load_flat = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    assert len(orig_flat) == len(load_flat)
+    for (pa, a), (pb, b) in zip(orig_flat, load_flat):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{model_type}: leaf {jax.tree_util.keystr(pa)} "
+            "did not round-trip",
+        )
+
+    fwd = jax.jit(lambda v: model.apply(v, x, train=False))
+    np.testing.assert_array_equal(
+        np.asarray(fwd(variables)), np.asarray(fwd(loaded)),
+        err_msg=f"{model_type}: forward drift after h5 round-trip",
+    )
