@@ -33,6 +33,10 @@ ALL_MODEL_TYPES = (
 
 @pytest.mark.parametrize("model_type", ALL_MODEL_TYPES)
 def test_h5_roundtrip(model_type, tmp_path):
+    """Leaf-exact round-trip. The fresh tree is zeros (not a second init,
+    which costs ~25s/model on this 1-core CPU): strict load + exact leaf
+    equality then proves every leaf was both exported and re-imported
+    losslessly — identical leaves imply an identical forward pass."""
     model = build_segmentation_model(model_type, 5, output_stride=16)
     x = jnp.asarray(
         np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
@@ -42,7 +46,7 @@ def test_h5_roundtrip(model_type, tmp_path):
     path = str(tmp_path / f"{model_type}.h5")
     save_keras_h5_weights(path, variables)
 
-    fresh = jax.jit(model.init)(jax.random.PRNGKey(7), x)
+    fresh = jax.tree_util.tree_map(np.zeros_like, variables)
     loaded = load_keras_h5_weights(path, fresh, strict=True)
 
     orig_flat = jax.tree_util.tree_flatten_with_path(variables)[0]
@@ -56,6 +60,24 @@ def test_h5_roundtrip(model_type, tmp_path):
             "did not round-trip",
         )
 
+
+@pytest.mark.parametrize(
+    "model_type", ["mobilenetv2_lite", "unet_simple", "fast_scnn"]
+)
+def test_h5_roundtrip_forward(model_type, tmp_path):
+    """Forward bit-equality after round-trip for one cheap model per
+    family (DeepLab / UNet / Fast-SCNN); the parametrized leaf-exact test
+    above covers the whole registry."""
+    model = build_segmentation_model(model_type, 5, output_stride=16)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    path = str(tmp_path / f"{model_type}.h5")
+    save_keras_h5_weights(path, variables)
+    loaded = load_keras_h5_weights(
+        path, jax.tree_util.tree_map(np.zeros_like, variables), strict=True
+    )
     fwd = jax.jit(lambda v: model.apply(v, x, train=False))
     np.testing.assert_array_equal(
         np.asarray(fwd(variables)), np.asarray(fwd(loaded)),
