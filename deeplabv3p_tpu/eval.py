@@ -123,10 +123,14 @@ def eval_miou(
         augment=False, shuffle=False, drop_remainder=False,
     )
 
-    @jax.jit
     def predict_masks(images):
         logits = model.apply(variables, images, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # pseudo-models running host-side engines (e.g. the ONNX numpy
+    # interpreter) set jittable=False and run eagerly
+    if getattr(model, "jittable", True):
+        predict_masks = jax.jit(predict_masks)
 
     @jax.jit
     def cm_update(cm, pred, labels):

@@ -32,6 +32,11 @@ def parse_input_shape(spec):
 
 
 def main(args):
+    if args.device == "cpu":
+        # must happen before any backend use; the environment pins
+        # jax_platforms programmatically, so plain JAX_PLATFORMS env is
+        # ignored (CLAUDE.md rule 3)
+        jax.config.update("jax_platforms", "cpu")
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
     input_shape = parse_input_shape(args.model_input_shape)
@@ -52,6 +57,31 @@ def main(args):
                 return fn(images)
 
         model, variables = _ExportedModel(), {}
+    elif args.model_path.endswith(".onnx"):
+        # exported ONNX artifact (reference eval.py:542-575 dispatches on
+        # extension the same way); executed with the bundled numpy
+        # interpreter — slow, meant for deployment-artifact verification
+        import numpy as np
+
+        from deeplabv3p_tpu.export.onnx.convert import load_onnx
+        from deeplabv3p_tpu.export.onnx.interp import run_model
+
+        onnx_model = load_onnx(args.model_path)
+        in_name = onnx_model.graph.input[0].name
+        out_name = onnx_model.graph.output[0].name
+
+        class _OnnxModel:
+            jittable = False  # host-side numpy engine
+
+            def apply(self, variables, images, train=False):
+                probs = run_model(
+                    onnx_model, {in_name: np.asarray(images, np.float32)}
+                )[out_name]
+                if probs.shape[1] == len(class_names):  # NCHW output
+                    probs = probs.transpose(0, 2, 3, 1)
+                return jnp.asarray(probs)
+
+        model, variables = _OnnxModel(), {}
     elif args.model_path.endswith(".h5"):
         # reference Keras checkpoints import by layer name
         from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
@@ -87,6 +117,8 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--do_crf", action="store_true")
     p.add_argument("--save_result", action="store_true")
+    p.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                   help="force the CPU backend (e.g. for .onnx artifacts)")
     return p.parse_args()
 
 

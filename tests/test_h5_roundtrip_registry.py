@@ -31,17 +31,30 @@ ALL_MODEL_TYPES = (
 )
 
 
+def _filled_variables(model, x):
+    """Variable tree with the right structure (via eval_shape — no
+    compile/execute, which costs ~25s/model on this 1-core CPU) and
+    distinct deterministic leaf values, so any save/load cross-wiring
+    (two leaves mapping to one h5 dataset, lost transposes, collisions)
+    shows up as a value mismatch."""
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    filled = []
+    for i, leaf in enumerate(leaves):
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        vals = (np.arange(n, dtype=np.float64) * 0.001 + i * 10.0 + 0.5)
+        filled.append(vals.astype(leaf.dtype).reshape(leaf.shape))
+    return jax.tree_util.tree_unflatten(treedef, filled)
+
+
 @pytest.mark.parametrize("model_type", ALL_MODEL_TYPES)
 def test_h5_roundtrip(model_type, tmp_path):
-    """Leaf-exact round-trip. The fresh tree is zeros (not a second init,
-    which costs ~25s/model on this 1-core CPU): strict load + exact leaf
-    equality then proves every leaf was both exported and re-imported
+    """Leaf-exact round-trip for every registry model: strict load + exact
+    leaf equality proves every leaf was both exported and re-imported
     losslessly — identical leaves imply an identical forward pass."""
     model = build_segmentation_model(model_type, 5, output_stride=16)
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
-    )
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = _filled_variables(model, x)
 
     path = str(tmp_path / f"{model_type}.h5")
     save_keras_h5_weights(path, variables)
