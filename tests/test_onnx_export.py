@@ -250,6 +250,7 @@ def test_eval_cli_with_onnx_model(tmp_path):
          "--model_type", "mobilenetv2_lite",
          "--classes_path", str(tmp_path / "classes.txt"),
          "--model_input_shape", "32x32",
+         "--batch_size", "2",
          "--output_path", onnx_path],
         capture_output=True, text=True, cwd=repo,
     )

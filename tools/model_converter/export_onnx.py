@@ -36,11 +36,15 @@ def convert(
     output_stride: int,
     output_path: str,
     nchw_output: bool = False,
+    batch_size: int = 1,
 ):
+    """NOTE: like StableHLO export, the emitted graph is static-shape —
+    the batch dimension is baked in (XLA-style; pick batch_size to match
+    the deployment)."""
     model = build_segmentation_model(
         model_type, num_classes, output_stride=output_stride
     )
-    x = jnp.zeros((1, *model_input_shape, 3), jnp.float32)
+    x = jnp.zeros((batch_size, *model_input_shape, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     if weights_path and weights_path.endswith(".h5"):
         from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
@@ -86,6 +90,8 @@ def main():
                         help="<h>x<w>")
     parser.add_argument("--output_stride", type=int, default=16)
     parser.add_argument("--output_path", required=True)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="static batch size baked into the graph")
     parser.add_argument("--nchw_output", action="store_true",
                         help="emit NCHW output layout (reference "
                         "onnx_edit.py behaviour)")
@@ -95,6 +101,7 @@ def main():
     convert(
         args.model_type, num_classes, args.weights_path, (h, w),
         args.output_stride, args.output_path, args.nchw_output,
+        args.batch_size,
     )
 
 
