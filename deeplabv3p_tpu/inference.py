@@ -69,6 +69,7 @@ class DeepLab:
             self.num_classes,
             output_stride=self.output_stride,
             fused_aspp=True,  # Pallas fused ASPP depthwise (inference only)
+            fused_decoder=True,  # Pallas fused decoder front-end
             dtype=jnp.bfloat16,
         )
         if self.weights_path and self.weights_path.endswith(".h5"):

@@ -53,6 +53,7 @@ class DeeplabV3Plus(nn.Module):
     remat: bool = False  # rematerialize backbone activations (OS8 @ 512
     # memory relief, SURVEY.md §7 "GlobalPool-in-graph + OS=8 memory")
     fused_aspp: bool = False  # Pallas fused ASPP depthwise at inference
+    fused_decoder: bool = False  # Pallas fused decoder front-end at inference
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -107,9 +108,10 @@ class DeeplabV3Plus(nn.Module):
                 fused_inference=self.fused_aspp,
                 dtype=self.dtype, name="aspp",
             )(feat, train=head_train)
-            feat = Decoder(dtype=self.dtype, name="decoder")(
-                feat, skip, train=head_train
-            )
+            feat = Decoder(
+                fused_inference=self.fused_decoder, dtype=self.dtype,
+                name="decoder",
+            )(feat, skip, train=head_train)
 
         if self.use_subpixel:
             # Reference hardcodes scale 4 (xception) / 8 (model.py:68-73);
@@ -169,6 +171,7 @@ def build_deeplab_model(
     use_subpixel: bool = False,
     remat: bool = False,
     fused_aspp: bool = False,
+    fused_decoder: bool = False,
     dtype: Optional[Any] = None,
 ) -> DeeplabV3Plus:
     """Construct a DeepLabV3+ model (reference get_deeplabv3p_model,
@@ -188,6 +191,7 @@ def build_deeplab_model(
         use_subpixel=use_subpixel,
         remat=remat,
         fused_aspp=fused_aspp,
+        fused_decoder=fused_decoder,
         dtype=dtype,
     )
 
@@ -199,6 +203,7 @@ def build_segmentation_model(
     use_subpixel: bool = False,
     remat: bool = False,
     fused_aspp: bool = False,
+    fused_decoder: bool = False,
     dtype: Optional[Any] = None,
 ):
     """Unified factory across the three reference model families:
@@ -209,7 +214,7 @@ def build_segmentation_model(
         return build_deeplab_model(
             model_type, num_classes, output_stride=output_stride,
             use_subpixel=use_subpixel, remat=remat, fused_aspp=fused_aspp,
-            dtype=dtype,
+            fused_decoder=fused_decoder, dtype=dtype,
         )
     from deeplabv3p_tpu.models.fast_scnn import (
         FAST_SCNN_MODEL_REGISTRY, build_fast_scnn_model,

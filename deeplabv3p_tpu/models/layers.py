@@ -369,16 +369,63 @@ class ASPPLite(nn.Module):
 class Decoder(nn.Module):
     """DeepLabV3+ decoder (reference Decoder_block, layers.py:199-219):
     upsample encoder output to skip resolution, project skip to 48ch,
-    concat, and refine with two separable convs."""
+    concat, and refine with two separable convs.
 
+    Inference fast path (`fused_inference`): the HBM-hostile front-end —
+    bilinear upsample to skip resolution + 48ch concat + decoder_conv0's
+    depthwise/BN/ReLU — runs as ONE Pallas kernel
+    (deeplabv3p_tpu.ops.pallas.decoder): neither the upsampled map nor the
+    concat is ever materialized in HBM, and the upsample runs on the MXU
+    as two constant-matrix dots. Reads the exact same parameters as the
+    standard path, so checkpoints and training are unaffected.
+    """
+
+    fused_inference: bool = False
     dtype: Optional[Dtype] = None
+
+    def _fused_frontend(self, x: jax.Array, skip48: jax.Array) -> jax.Array:
+        """upsample+concat+decoder_conv0(depthwise+BN+ReLU) via the fused
+        Pallas kernel, then the pointwise+BN+ReLU stage from the same
+        variables."""
+        from deeplabv3p_tpu.ops.pallas.decoder import fused_decoder_frontend
+
+        p = self.variables["params"]["decoder_conv0"]
+        bs = self.variables["batch_stats"]["decoder_conv0"]
+        eps = 1e-5
+
+        dwk = p["depthwise"]["dw"]["kernel"][:, :, 0, :]  # (3, 3, C)
+        inv = p["depthwise_BN"]["bn"]["scale"] * jax.lax.rsqrt(
+            bs["depthwise_BN"]["bn"]["var"] + eps
+        )
+        dw_bias = p["depthwise_BN"]["bn"]["bias"] - (
+            bs["depthwise_BN"]["bn"]["mean"] * inv
+        )
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        y = fused_decoder_frontend(
+            x.astype(jnp.float32),
+            skip48.astype(jnp.float32),
+            dwk.astype(jnp.float32),
+            inv.astype(jnp.float32),
+            dw_bias.astype(jnp.float32),
+            interpret=not on_tpu,
+        )
+
+        pw = p["pointwise"]["kernel"][0, 0]  # (C, 256)
+        inv = p["pointwise_BN"]["bn"]["scale"] * jax.lax.rsqrt(
+            bs["pointwise_BN"]["bn"]["var"] + eps
+        )
+        pw_bias = p["pointwise_BN"]["bn"]["bias"] - (
+            bs["pointwise_BN"]["bn"]["mean"] * inv
+        )
+        dt = self.dtype or jnp.float32
+        y = jnp.dot(y.astype(dt), pw.astype(dt)) * inv + pw_bias
+        return nn.relu(y).astype(x.dtype)
 
     @nn.compact
     def __call__(
         self, x: jax.Array, skip: jax.Array, train: bool = False
     ) -> jax.Array:
         skip_hw = (skip.shape[1], skip.shape[2])
-        x = resize_bilinear(x.astype(jnp.float32), skip_hw).astype(x.dtype)
 
         skip = _conv(48, 1, name="feature_projection0", dtype=self.dtype)(skip)
         skip = BatchNorm(
@@ -386,11 +433,24 @@ class Decoder(nn.Module):
         )(skip, train=train)
         skip = nn.relu(skip)
 
-        x = jnp.concatenate([x, skip], axis=-1)
-        x = SepConvBN(
-            256, depth_activation=True, epsilon=1e-5, dtype=self.dtype,
-            name="decoder_conv0",
-        )(x, train=train)
+        use_fused = (
+            self.fused_inference
+            and not train
+            and x.shape[3] % 128 == 0
+            and self.has_variable("params", "decoder_conv0")
+            and self.has_variable("batch_stats", "decoder_conv0")
+        )
+        if use_fused:
+            x = self._fused_frontend(x, skip)
+        else:
+            x = resize_bilinear(x.astype(jnp.float32), skip_hw).astype(
+                x.dtype
+            )
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = SepConvBN(
+                256, depth_activation=True, epsilon=1e-5, dtype=self.dtype,
+                name="decoder_conv0",
+            )(x, train=train)
         x = SepConvBN(
             256, depth_activation=True, epsilon=1e-5, dtype=self.dtype,
             name="decoder_conv1",
