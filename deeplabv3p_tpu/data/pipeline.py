@@ -234,3 +234,58 @@ class SegmentationDataset:
         get_batch_image_path (data.py:43-44), used by eval result dumps."""
         i = batch_index
         return self.image_paths[i * self.batch_size : (i + 1) * self.batch_size]
+
+
+class _FeedError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def device_feed(batches, put_fn, depth: int = 2):
+    """Background-thread device feeder.
+
+    Wraps a host-batch iterator so that `put_fn(batch)` (device_put /
+    jnp.asarray — the host→device transfer) runs in a worker thread up to
+    `depth` batches ahead of the consumer. Through the tunneled TPU client
+    transfers are effectively synchronous host calls, so staging them off
+    the dispatch thread is what lets decode, transfer, and device compute
+    overlap (VERDICT r1 item #4: close the host-pipeline gap).
+
+    Yields put_fn's results; exceptions from the worker re-raise in the
+    consumer. Closing the generator stops the worker.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    sentinel = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for batch in batches:
+                if not _put(put_fn(batch)):
+                    return
+        except BaseException as e:  # propagate to consumer
+            _put(_FeedError(e))
+            return
+        _put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True, name="device-feed")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, _FeedError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
