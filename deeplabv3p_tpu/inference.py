@@ -69,7 +69,8 @@ class DeepLab:
             self.num_classes,
             output_stride=self.output_stride,
             fused_aspp=True,  # Pallas fused ASPP depthwise (inference only)
-            fused_decoder=True,  # Pallas fused decoder front-end
+            # fused decoder kernel measured neutral at bf16 batch 1-8
+            # (see ops/pallas/decoder.py) — off by default
             dtype=jnp.bfloat16,
         )
         if self.weights_path and self.weights_path.endswith(".h5"):

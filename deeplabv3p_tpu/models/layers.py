@@ -401,9 +401,11 @@ class Decoder(nn.Module):
             bs["depthwise_BN"]["bn"]["mean"] * inv
         )
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        # keep the model compute dtype (bf16) on the kernel's in/out —
+        # halves its HBM traffic; the kernel accumulates in f32 internally
         y = fused_decoder_frontend(
-            x.astype(jnp.float32),
-            skip48.astype(jnp.float32),
+            x,
+            skip48.astype(x.dtype),
             dwk.astype(jnp.float32),
             inv.astype(jnp.float32),
             dw_bias.astype(jnp.float32),

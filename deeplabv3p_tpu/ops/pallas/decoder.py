@@ -23,6 +23,16 @@ This kernel produces the post-depthwise/BN/ReLU tensor directly from the
 
 Falls back to interpreter mode off-TPU; `fused_decoder_reference` is the
 lax oracle (resize → concat → depthwise → BN → ReLU).
+
+Measured on TPU v5e (512-px class shapes): standalone op (batch 4, f32)
+6.53 ms fused vs 6.82 ms XLA (1.04x); in the full bf16 model the end-to-end
+delta is neutral to slightly negative (mobilenetv2 OS16 b1: 0.92x,
+xception OS16 b1: 1.03x, b8: 0.96-1.00x) — XLA's own fusion of
+resize+concat+depthwise at bf16 is already near the HBM roofline for
+these sizes. The kernel therefore ships OFF by default (`fused_decoder`
+flag), kept for larger-batch serving shapes and as the template for
+future decoder fusions. First version was 2.8x SLOWER due to in-kernel
+relayouts; the transpose-free batched-dot formulation is what you see.
 """
 
 from __future__ import annotations
@@ -90,10 +100,17 @@ def fused_decoder_frontend(
     c_out = ce + cs
     c_pad = (n_enc_blocks + 1) * _CBLOCK
 
-    # skip: pad channels to one block and rows by the halo
+    # skip: pad channels to one block and rows by the halo, then
+    # pre-gather the overlapping row tiles into their own axis so each
+    # grid step loads only its (tile+2, ws, CB) slab (a full-resident
+    # skip block blows the 16M VMEM scoped limit at 128x128x128)
     skip_p = jnp.pad(
         skip48, ((0, 0), (1, 1), (0, 0), (0, _CBLOCK - cs))
     )
+    skip_tiles = jnp.stack(
+        [skip_p[:, t * tile:t * tile + tile + 2] for t in range(n_tiles)],
+        axis=1,
+    )  # (N, n_tiles, tile+2, ws, CB)
     # depthwise kernel / BN params: encoder blocks then the skip block
     dwk = jnp.pad(dw_kernel, ((0, 0), (0, 0), (0, c_pad - c_out)))
     sc = jnp.pad(scale, (0, c_pad - c_out))[None, :]
@@ -113,9 +130,10 @@ def fused_decoder_frontend(
                 (1, he, we, _CBLOCK),
                 lambda i, j, t: (i, 0, 0, jnp.minimum(j, n_enc_blocks - 1)),
             ),
-            # padded skip: full map resident (index ignores t)
+            # skip row-tile slab for this t
             pl.BlockSpec(
-                (1, hs + 2, ws, _CBLOCK), lambda i, j, t: (i, 0, 0, 0)
+                (1, 1, tile + 2, ws, _CBLOCK),
+                lambda i, j, t: (i, t, 0, 0, 0),
             ),
             pl.BlockSpec((1, tile + 2, he), lambda i, j, t: (t, 0, 0)),
             pl.BlockSpec((we, ws), lambda i, j, t: (0, 0)),
@@ -124,15 +142,11 @@ def fused_decoder_frontend(
             pl.BlockSpec((1, _CBLOCK), lambda i, j, t: (0, j)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile, ws, _CBLOCK), lambda i, j, t: (j, i, t, 0, 0)
+            (1, tile, ws, _CBLOCK), lambda i, j, t: (i, t, 0, j)
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_enc_blocks + 1, n, hs, ws, _CBLOCK), x_enc.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((n, hs, ws, c_pad), x_enc.dtype),
         interpret=interpret,
-    )(x_enc, skip_p, wr, wc, dwk, sc, bi)
-    # (blocks, N, hs, ws, CB) -> (N, hs, ws, blocks*CB) -> slice to c_out
-    out = jnp.moveaxis(out, 0, 3).reshape(n, hs, ws, c_pad)
+    )(x_enc, skip_tiles, wr, wc, dwk, sc, bi)
     return out[..., :c_out]
 
 
@@ -153,30 +167,35 @@ def _kernel_impl(x_ref, skip_ref, wr_ref, wc_ref, dwk_ref, scale_ref,
                 acc += tap * dwk_ref[dy, dx, :].astype(jnp.float32)
         acc = acc * scale_ref[0, :].astype(jnp.float32)
         acc = acc + bias_ref[0, :].astype(jnp.float32)
-        out_ref[0, 0, :, :, :] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
+        out_ref[0, :, :, :] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
 
     @pl.when(j < n_enc_blocks)
     def _upsample_branch():
+        # NO transposes (Mosaic relayouts dominated the first version):
+        # rows via a plain dot with channels flattened into lanes; cols
+        # via a batched dot whose LHS is the (broadcast) interpolation
+        # matrix, so the output lands directly as (tile+2, ws, CB).
+        # HIGHEST precision: default MXU f32 dots round through bf16.
         x = x_ref[0].astype(jnp.float32)        # (he, we, CB)
         wr = wr_ref[0].astype(jnp.float32)       # (tile+2, he)
         wc = wc_ref[...].astype(jnp.float32)     # (we, ws)
         he, we, cb = x.shape
-        rows = jnp.dot(wr, x.reshape(he, we * cb),
-                       preferred_element_type=jnp.float32)
-        rows = rows.reshape(tile + 2, we, cb)
-        cols = jnp.dot(
-            jnp.swapaxes(rows, 1, 2).reshape((tile + 2) * cb, we), wc,
+        rows = jax.lax.dot_general(
+            wr, x.reshape(he, we * cb), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        ).reshape(tile + 2, cb, ws)
-        dw_bn_relu(jnp.swapaxes(cols, 1, 2))
+        ).reshape(tile + 2, we, cb)
+        wc_b = jnp.broadcast_to(wc.T[None], (tile + 2, ws, we))
+        slab = jax.lax.dot_general(
+            wc_b, rows, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                        # (tile+2, ws, CB)
+        dw_bn_relu(slab)
 
     @pl.when(j == n_enc_blocks)
     def _skip_branch():
-        slab = jax.lax.dynamic_slice(
-            skip_ref[0], (t * tile, 0, 0),
-            (tile + 2, ws, skip_ref.shape[3]),
-        ).astype(jnp.float32)
-        dw_bn_relu(slab)
+        dw_bn_relu(skip_ref[0, 0].astype(jnp.float32))
 
 
 def fused_decoder_reference(
