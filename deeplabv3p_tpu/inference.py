@@ -128,13 +128,13 @@ class DeepLab:
         if not vid.isOpened():
             raise IOError("Couldn't open webcam or video")
         out = None
+        size = (
+            int(vid.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(vid.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        )
         if output_path:
             fourcc = int(vid.get(cv2.CAP_PROP_FOURCC))
             fps = vid.get(cv2.CAP_PROP_FPS)
-            size = (
-                int(vid.get(cv2.CAP_PROP_FRAME_WIDTH)),
-                int(vid.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-            )
             out = cv2.VideoWriter(output_path, fourcc, fps, size)
         accum_time, curr_fps, fps_txt = 0.0, 0, "FPS: ??"
         prev = time.time()
@@ -152,6 +152,10 @@ class DeepLab:
                 accum_time -= 1
                 fps_txt, curr_fps = f"FPS: {curr_fps}", 0
             result = cv2.cvtColor(result, cv2.COLOR_RGB2BGR)
+            if (result.shape[1], result.shape[0]) != size:
+                # the overlay visualization renders at figure size; the
+                # writer only accepts frames at the capture size
+                result = cv2.resize(result, size)
             cv2.putText(
                 result, fps_txt, (3, 15), cv2.FONT_HERSHEY_SIMPLEX,
                 0.50, (255, 0, 0), 2,

@@ -190,3 +190,41 @@ def test_nonsquare_input_pipeline(tmp_path):
     vars_ = model.init(jax.random.PRNGKey(0), aug_img)
     logits = model.apply(vars_, aug_img)
     assert logits.shape == (2, h, w, 3)
+
+
+def test_segment_video(tmp_path):
+    """Per-frame video segmentation loop (reference segment_video,
+    deeplab.py:123-172): tiny synthetic mp4 in, overlay video out."""
+    import cv2
+
+    from deeplabv3p_tpu.inference import DeepLab
+
+    src = str(tmp_path / "in.mp4")
+    rng = np.random.RandomState(0)
+    writer = cv2.VideoWriter(
+        src, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (48, 40)
+    )
+    assert writer.isOpened()
+    for _ in range(3):
+        writer.write(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8))
+    writer.release()
+
+    deeplab = DeepLab(
+        model_type="mobilenetv2_lite",
+        class_names=["background", "a", "b", "c"],
+        model_input_shape=(HW, HW),
+    )
+    out = str(tmp_path / "out.mp4")
+    deeplab.segment_video(src, out)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    vid = cv2.VideoCapture(out)
+    assert vid.isOpened()
+    n = 0
+    while True:
+        ok, frame = vid.read()
+        if not ok:
+            break
+        assert frame.shape == (40, 48, 3)
+        n += 1
+    vid.release()
+    assert n == 3
