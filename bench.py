@@ -178,7 +178,7 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
     return batch * iters / dt, flops / 1e9
 
 
-def bench_cli_pipeline(hw=512, batch=8, n_images=64, num_classes=21):
+def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
     """End-to-end host-pipeline throughput: on-disk JPEGs → threaded
     decode/resize → device_feed staging → ONE fused augment+train dispatch
     per step (the real `train.py` path), plus this host's pure-decode
@@ -249,7 +249,10 @@ def bench_cli_pipeline(hw=512, batch=8, n_images=64, num_classes=21):
 
     trainer.fit(_TimingDataset(ds), [stage], augment_fn=augment_fn)
     t_marks.append(time.perf_counter())
-    steady_sec = t_marks[-1] - t_marks[1]  # epochs 2..3
+    # marks: [init-probe, epoch0(compile), epoch1, epoch2, end] — fit's
+    # shape probe also calls epoch_batches(), hence the extra first mark;
+    # measure the LAST two epochs only
+    steady_sec = t_marks[-1] - t_marks[-3]
     steps_per_epoch = len(ds)
     cli_ips = 2 * steps_per_epoch * batch / steady_sec
     return cli_ips, decode_ips

@@ -133,6 +133,15 @@ def make_train_step(
     return step_fn
 
 
+@jax.jit
+def _reduce_metrics(step_metrics: tuple):
+    """Mean over an epoch's per-step metric dicts, on device."""
+    return {
+        k: jnp.mean(jnp.stack([m[k] for m in step_metrics]))
+        for k in step_metrics[0]
+    }
+
+
 def make_eval_step(model, num_classes: int):
     """Jitted eval step: logits → argmax → confusion-matrix delta.
 
@@ -383,12 +392,17 @@ class Trainer:
                     feed.close()
 
                 n_steps = len(step_metrics)
-                epoch_loss = float(
-                    np.mean([float(m["loss"]) for m in step_metrics])
-                ) if step_metrics else 0.0
-                epoch_jac = float(
-                    np.mean([float(m.get("jaccard", 0.0)) for m in step_metrics])
-                ) if step_metrics else 0.0
+                # reduce the epoch's step metrics in ONE jitted program +
+                # ONE host fetch (a float() per metric costs a full RPC
+                # through the tunneled client — 16+/epoch adds ~0.4s)
+                if step_metrics:
+                    reduced = jax.device_get(
+                        _reduce_metrics(tuple(step_metrics))
+                    )
+                    epoch_loss = float(reduced["loss"])
+                    epoch_jac = float(reduced.get("jaccard", 0.0))
+                else:
+                    epoch_loss = epoch_jac = 0.0
                 record = {
                     "epoch": epoch_base + epoch,
                     "loss": epoch_loss,
