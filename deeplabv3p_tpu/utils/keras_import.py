@@ -83,6 +83,11 @@ def _h5_weight_groups(h5file):
         if isinstance(obj, h5py.Dataset):
             parts = name.split("/")
             weight, scope = parts[-1], parts[:-1]
+            # Keras 3's legacy writer drops the ':0' graph-tensor suffix
+            # (verified vs keras 3.13, tests/test_tf_parity.py); normalize
+            # so both vintages of h5 file match the ':0' candidate names.
+            if not weight.endswith(":0"):
+                weight = weight + ":0"
             arr = np.asarray(obj)
             for i in range(1, len(scope) + 1):
                 key = "/".join(scope[:i])
@@ -142,7 +147,17 @@ def load_keras_h5_weights(
             missing.append(f"{lname}:{leaf_name}")
             continue
 
-        if src == "depthwise_kernel:0":
+        is_dw = bool(module_path) and module_path[-1] == "dw"
+        if src == "depthwise_kernel:0" or (
+            # Keras 3 names the DepthwiseConv2D kernel plain 'kernel'
+            # but keeps the (H,W,C,1) layout — transpose on shape evidence.
+            is_dw
+            and src == "kernel:0"
+            and value.ndim == 4
+            and value.shape[-1] == 1
+            and leaf.shape[-2] == 1
+            and value.shape != leaf.shape
+        ):
             value = value.transpose(0, 1, 3, 2)  # (H,W,C,1)→(H,W,1,C)
         if value.shape != leaf.shape:
             raise ValueError(
@@ -178,7 +193,10 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
 
     Layout: `model_weights/<layer path...>/<weight>:0`, with the Keras
     weight-name and kernel-layout conventions (depthwise kernels
-    transposed back to (H, W, C, 1))."""
+    transposed back to (H, W, C, 1)). The `layer_names`/`weight_names`
+    h5 attributes Keras's legacy h5 reader walks are written too —
+    verified against the real `keras.src.legacy.saving.legacy_h5_format`
+    by-name loader in tests/test_tf_parity.py."""
     import h5py
 
     import jax
@@ -188,30 +206,53 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
         "mean": "moving_mean:0",
         "var": "moving_variance:0",
     }
+    # Keras `layer.weights` ordering — legacy by-name loading is
+    # positional within each layer, so dataset/attr order must match.
+    _KERAS_ORDER = {
+        "kernel:0": 0,
+        "depthwise_kernel:0": 0,
+        "gamma:0": 0,
+        "bias:0": 1,
+        "beta:0": 1,
+        "moving_mean:0": 2,
+        "moving_variance:0": 3,
+    }
+
+    layers: dict[str, dict[str, np.ndarray]] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        module_path, leaf_name = keys[1:-1], keys[-1]
+        lname = keras_layer_name(module_path)
+        is_bn = "scale" in _collect_sibling_names(variables, keys)
+        is_dw = module_path and module_path[-1] == "dw"
+
+        if leaf_name == "kernel":
+            wname = "depthwise_kernel:0" if is_dw else "kernel:0"
+        elif leaf_name == "bias":
+            wname = "beta:0" if is_bn else "bias:0"
+        elif leaf_name in leaf_to_keras:
+            wname = leaf_to_keras[leaf_name]
+        else:
+            continue  # non-Keras leaf (e.g. quantized scales)
+
+        value = np.asarray(leaf)
+        if wname == "depthwise_kernel:0":
+            value = value.transpose(0, 1, 3, 2)  # (H,W,1,C)→(H,W,C,1)
+        layers.setdefault(lname, {}).setdefault(wname, value)
 
     with h5py.File(h5_path, "w") as f:
         mw = f.create_group("model_weights")
-        for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-            keys = tuple(getattr(p, "key", str(p)) for p in path)
-            module_path, leaf_name = keys[1:-1], keys[-1]
-            lname = keras_layer_name(module_path)
-            is_bn = "scale" in _collect_sibling_names(variables, keys)
-            is_dw = module_path and module_path[-1] == "dw"
-
-            if leaf_name == "kernel":
-                wname = "depthwise_kernel:0" if is_dw else "kernel:0"
-            elif leaf_name == "bias":
-                wname = "beta:0" if is_bn else "bias:0"
-            elif leaf_name in leaf_to_keras:
-                wname = leaf_to_keras[leaf_name]
-            else:
-                continue  # non-Keras leaf (e.g. quantized scales)
-
-            value = np.asarray(leaf)
-            if wname == "depthwise_kernel:0":
-                value = value.transpose(0, 1, 3, 2)  # (H,W,1,C)→(H,W,C,1)
+        mw.attrs["layer_names"] = [n.encode("utf8") for n in layers]
+        mw.attrs["backend"] = b"tensorflow"
+        # Without this, Keras's legacy reader assumes a Keras-1 file and
+        # runs layer-weight conversions that mangle modern layouts.
+        mw.attrs["keras_version"] = b"2.15.0"
+        for lname, weights in layers.items():
+            g = mw.create_group(lname)
+            ordered = sorted(weights, key=lambda w: _KERAS_ORDER.get(w, 9))
             # Keras nests '<layer>/<layer>/<weight>:0'
-            dataset_path = f"{lname}/{lname}/{wname}"
-            if dataset_path in mw:
-                continue
-            mw.create_dataset(dataset_path, data=value)
+            g.attrs["weight_names"] = [
+                f"{lname}/{w}".encode("utf8") for w in ordered
+            ]
+            for wname in ordered:
+                g.create_dataset(f"{lname}/{wname}", data=weights[wname])
