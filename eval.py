@@ -82,6 +82,29 @@ def main(args):
                 return jnp.asarray(probs)
 
         model, variables = _OnnxModel(), {}
+    elif args.model_path.endswith(".tflite") or args.model_path.endswith(".pb"):
+        # TFLite flatbuffer / frozen GraphDef (reference eval.py:84-143
+        # dispatches both the same way); requires tensorflow (gated)
+        import numpy as np
+
+        from deeplabv3p_tpu.export.tf_export import (
+            FrozenGraphRunner,
+            TFLiteRunner,
+        )
+
+        if args.model_path.endswith(".tflite"):
+            runner = TFLiteRunner(args.model_path)
+        else:
+            runner = FrozenGraphRunner(args.model_path)
+
+        class _TFModel:
+            jittable = False  # host-side TF/TFLite engine
+
+            def apply(self, variables, images, train=False):
+                probs = runner(np.asarray(images, np.float32))
+                return jnp.asarray(probs)
+
+        model, variables = _TFModel(), {}
     elif args.model_path.endswith(".h5"):
         # reference Keras checkpoints import by layer name
         from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights

@@ -33,7 +33,13 @@ def main():
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--model_input_shape", type=int, default=512)
     p.add_argument("--output_stride", type=int, default=16)
-    p.add_argument("--format", default="shlo", choices=["shlo", "int8", "ckpt"])
+    p.add_argument(
+        "--format", default="shlo",
+        choices=["shlo", "int8", "ckpt", "tflite", "tflite_int8",
+                 "tflite_f16", "saved_model", "pb"],
+        help="shlo/int8/ckpt are TF-free; tflite*/saved_model/pb require "
+             "tensorflow (reference keras_to_tflite.py, "
+             "post_train_quant_convert.py, keras_to_tensorflow.py)")
     p.add_argument("--output", required=True)
     p.add_argument("--with_argmax", action="store_true",
                    help="fuse argmax into the exported program "
@@ -110,9 +116,66 @@ def main():
             print(f"calibrated {len(ranges)} activation ranges")
         save_variables(args.output, payload)
         print(f"saved int8 model to {args.output}")
+    elif args.format in ("tflite", "tflite_int8", "tflite_f16"):
+        import numpy as np
+
+        from deeplabv3p_tpu.export.tf_export import export_tflite, save_tflite
+
+        quantize = {"tflite": None, "tflite_int8": "int8",
+                    "tflite_f16": "float16"}[args.format]
+        rep = None
+        if quantize == "int8":
+            rep = _representative_batches(args, shape, np)
+        content = export_tflite(
+            model, variables, shape, quantize=quantize,
+            representative_data=rep, with_argmax=args.with_argmax,
+        )
+        save_tflite(content, args.output)
+        print(f"exported {args.format} model ({len(content)} bytes) "
+              f"to {args.output}")
+    elif args.format == "saved_model":
+        from deeplabv3p_tpu.export.tf_export import export_saved_model
+
+        export_saved_model(model, variables, shape, args.output)
+        print(f"exported SavedModel to {args.output}")
+    elif args.format == "pb":
+        from deeplabv3p_tpu.export.tf_export import export_frozen_pb
+
+        in_name, out_name = export_frozen_pb(
+            model, variables, shape, args.output
+        )
+        print(f"exported frozen pb to {args.output} "
+              f"(input={in_name}, output={out_name})")
     else:
         save_variables(args.output, variables)
         print(f"saved checkpoint to {args.output}")
+
+
+def _representative_batches(args, shape, np):
+    """Representative input batches for int8 calibration: the real dataset
+    when given (reference post_train_quant_convert.py:24-38), else random
+    normalized images so the CLI still produces a valid artifact."""
+    if args.dataset_path and args.dataset_file:
+        from deeplabv3p_tpu.data.pipeline import SegmentationDataset
+        from deeplabv3p_tpu.utils.config import get_data_list
+
+        ds = SegmentationDataset(
+            args.dataset_path,
+            get_data_list(args.dataset_file, shuffle=False),
+            batch_size=1, num_classes=args.num_classes,
+            input_shape=shape, augment=False, shuffle=False,
+        )
+        batches = []
+        for i, (img, _, _) in enumerate(ds.epoch_batches()):
+            if i >= args.calib_batches:
+                break
+            batches.append(img.astype(np.float32) / 127.5 - 1.0)
+        return batches
+    rng = np.random.RandomState(0)
+    return [
+        rng.uniform(-1, 1, (1, *shape, 3)).astype(np.float32)
+        for _ in range(args.calib_batches)
+    ]
 
 
 if __name__ == "__main__":
