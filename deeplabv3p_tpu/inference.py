@@ -34,6 +34,10 @@ DEFAULT_CONFIG = {
     "output_stride": 16,
     "weights_path": None,
     "do_crf": False,
+    # optional jax.sharding.Mesh for multi-chip inference: with a
+    # ('data', 'spatial') mesh a single high-res image is spatially
+    # partitioned across chips (GSPMD halo exchanges over ICI)
+    "mesh": None,
 }
 
 
@@ -88,7 +92,21 @@ class DeepLab:
         else:  # random init (smoke/demo use)
             x = jnp.zeros((1, *self.model_input_shape, 3), jnp.float32)
             self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
-        self._predict = jax.jit(self._predict_impl)
+        if self.mesh is not None and self.mesh.size > 1:
+            from deeplabv3p_tpu.parallel.mesh import (
+                batch_arg_sharding,
+                replicated_sharding,
+            )
+
+            self._predict = jax.jit(
+                self._predict_impl,
+                in_shardings=(batch_arg_sharding(self.mesh, 4),),
+                out_shardings=replicated_sharding(self.mesh),
+            )
+        else:
+            # single device: plain jit (explicit NamedShardings on a
+            # 1-device mesh fall off the PJRT fast dispatch path)
+            self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, images: jax.Array) -> jax.Array:
         logits = self.model.apply(self.variables, images, train=False)

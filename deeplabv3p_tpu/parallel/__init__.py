@@ -8,6 +8,7 @@ gradient psums and cross-replica BN-stat reductions automatically (GSPMD).
 
 from deeplabv3p_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    batch_arg_sharding,
     batch_sharding,
     replicated_sharding,
     shard_batch,

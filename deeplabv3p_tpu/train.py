@@ -38,6 +38,7 @@ from deeplabv3p_tpu import optimizers as opt_lib
 from deeplabv3p_tpu.data.pipeline import device_feed
 from deeplabv3p_tpu.models.factory import make_trainable_mask
 from deeplabv3p_tpu.parallel.mesh import (
+    batch_arg_sharding,
     batch_sharding,
     make_mesh,
     replicated_sharding,
@@ -271,14 +272,22 @@ class Trainer:
             # (measured 3 s/step vs 1.5 ms via the tunneled TPU backend)
             # and buy nothing — GSPMD has nothing to partition.
             return jax.jit(fn, donate_argnums=(0,))
-        data_shard = batch_sharding(self.mesh)
         repl = replicated_sharding(self.mesh)
+        # Per-arg shardings by rank: images/labels/per-pixel weights also
+        # shard H over the 'spatial' axis when the mesh has one (GSPMD
+        # inserts the conv halo exchanges); (B, 2) orig_hw is batch-only.
         if augment_fn is None:
-            in_shardings = (repl,) + (data_shard,) * n_batch_args + (None,)
-        else:
-            in_shardings = (
-                (repl, repl) + (data_shard,) * n_batch_args + (None,)
+            # (images (B,H,W,3), labels (B,H,W), weights (B,H,W))
+            batch_shards = tuple(
+                batch_arg_sharding(self.mesh, r) for r in (4, 3, 3)
             )
+            in_shardings = (repl,) + batch_shards + (None,)
+        else:
+            # (aug_key, images_u8 (B,H,W,3), labels_u8 (B,H,W), orig_hw (B,2))
+            batch_shards = tuple(
+                batch_arg_sharding(self.mesh, r) for r in (4, 3, 2)
+            )
+            in_shardings = (repl, repl) + batch_shards + (None,)
         return jax.jit(
             fn,
             in_shardings=in_shardings,
@@ -291,8 +300,10 @@ class Trainer:
         worker thread so transfers overlap dispatch)."""
         if self.mesh.size == 1:
             return lambda hb: tuple(jax.device_put(x) for x in hb)
-        shard = batch_sharding(self.mesh)
-        return lambda hb: tuple(jax.device_put(x, shard) for x in hb)
+        return lambda hb: tuple(
+            jax.device_put(x, batch_arg_sharding(self.mesh, np.ndim(x)))
+            for x in hb
+        )
 
     # -- fit -----------------------------------------------------------------
 
