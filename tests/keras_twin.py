@@ -1,0 +1,140 @@
+"""Keras-3 twin of deeplabv3p_mobilenetv2_lite — a TEST ORACLE.
+
+Builds the full DeepLabV3+ MobileNetV2-Lite graph with REAL Keras layers,
+using the same layer names as the reference architecture (and therefore
+as our flax module tree), so weights interchange by name through the
+legacy h5 format. tests/test_tf_parity.py uses it to prove FULL-MODEL
+numerical parity of the flax implementation + h5 importer against actual
+TensorFlow execution — the end-to-end evidence behind the "reference
+checkpoints produce the same masks here" claim.
+
+Written from this package's own module structure
+(deeplabv3p_tpu/models/mobilenetv2.py, models/layers.py:ASPPLite), which
+mirrors the reference semantics (deeplabv3p_mobilenetv2.py:273-351).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _make_divisible(v, divisor=8, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def build_mobilenetv2_lite_keras(num_classes: int, input_hw: tuple[int, int],
+                                 alpha: float = 1.0):
+    """OS16 MobileNetV2 + ASPP-Lite head + biased 1x1 logits conv +
+    bilinear x16 upsample; emits logits at input resolution (same program
+    shape as build_deeplab_model('mobilenetv2_lite', ...))."""
+    import keras
+
+    L = keras.layers
+    relu6 = lambda name=None: L.ReLU(max_value=6.0)
+
+    def bn(name):
+        return L.BatchNormalization(epsilon=1e-3, momentum=0.999, name=name)
+
+    def head_bn(name):
+        return L.BatchNormalization(epsilon=1e-5, name=name)
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.Conv2D(_make_divisible(32 * alpha), 3, strides=2, padding="same",
+                 use_bias=False, name="Conv")(inp)
+    x = bn("Conv_BN")(x)
+    x = relu6()(x)
+
+    channels = [_make_divisible(32 * alpha)]
+
+    def block(x, filters, stride, expansion, block_id, skip, rate=1):
+        in_ch = channels[-1]
+        out_ch = _make_divisible(int(filters * alpha))
+        prefix = (f"expanded_conv_{block_id}_" if block_id
+                  else "expanded_conv_")
+        y = x
+        if block_id:
+            y = L.Conv2D(expansion * in_ch, 1, use_bias=False,
+                         name=prefix + "expand")(y)
+            y = bn(prefix + "expand_BN")(y)
+            y = relu6()(y)
+        y = L.DepthwiseConv2D(3, strides=stride, dilation_rate=rate,
+                              padding="same", use_bias=False,
+                              name=prefix + "depthwise")(y)
+        y = bn(prefix + "depthwise_BN")(y)
+        y = relu6()(y)
+        y = L.Conv2D(out_ch, 1, use_bias=False, name=prefix + "project")(y)
+        y = bn(prefix + "project_BN")(y)
+        if skip:
+            y = L.Add()([y, x])
+        channels.append(out_ch)
+        return y
+
+    # identical schedule to MobileNetV2Body at OS16
+    # (mobilenetv2.py:136-160; os16_stride=2, os16_rate=1, os32_rate=2)
+    x = block(x, 16, 1, 1, 0, False)
+    x = block(x, 24, 2, 6, 1, False)
+    x = block(x, 24, 1, 6, 2, True)
+    x = block(x, 32, 2, 6, 3, False)
+    x = block(x, 32, 1, 6, 4, True)
+    x = block(x, 32, 1, 6, 5, True)
+    x = block(x, 64, 2, 6, 6, False)
+    x = block(x, 64, 1, 6, 7, True)
+    x = block(x, 64, 1, 6, 8, True)
+    x = block(x, 64, 1, 6, 9, True)
+    x = block(x, 96, 1, 6, 10, False)
+    x = block(x, 96, 1, 6, 11, True)
+    x = block(x, 96, 1, 6, 12, True)
+    x = block(x, 160, 1, 6, 13, False)
+    x = block(x, 160, 1, 6, 14, True, rate=2)
+    x = block(x, 160, 1, 6, 15, True, rate=2)
+    x = block(x, 320, 1, 6, 16, False, rate=2)
+
+    # ASPP-Lite (layers.py:ASPPLite; reference layers.py:166-196)
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    b4 = L.AveragePooling2D(pool_size=(fh, fw), name="average_pooling")(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = head_bn("image_pooling_BN")(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = head_bn("aspp0_BN")(b0)
+    b0 = L.ReLU()(b0)
+
+    x = L.Concatenate()([b4, b0])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = head_bn("concat_projection_BN")(x)
+    x = L.ReLU()(x)
+    # dropout omitted: inference graphs compare with training=False
+
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    x = L.UpSampling2D(size=16, interpolation="bilinear")(x)
+    return keras.Model(inp, x)
+
+
+def randomize_keras_weights(model, seed: int = 0) -> None:
+    """Give every layer non-trivial weights (incl. BN moving stats) so a
+    forward pass exercises real numerics, not init-time identities."""
+    rng = np.random.RandomState(seed)
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        is_bn = "BatchNormalization" in type(layer).__name__
+        new = []
+        for i, w in enumerate(ws):
+            if is_bn and i == 0:  # gamma
+                new.append(rng.uniform(0.5, 1.5, w.shape).astype(np.float32))
+            elif is_bn and i == 3:  # moving_variance
+                new.append(rng.uniform(0.5, 2.0, w.shape).astype(np.float32))
+            elif is_bn:  # beta / moving_mean
+                new.append(rng.randn(*w.shape).astype(np.float32) * 0.1)
+            else:  # conv kernels / bias
+                new.append(rng.randn(*w.shape).astype(np.float32)
+                           * (0.4 / max(1, int(np.prod(w.shape[:-1])) ** 0.5)))
+        layer.set_weights(new)

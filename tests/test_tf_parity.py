@@ -247,3 +247,44 @@ def test_real_keras_loads_our_h5(tmp_path, legacy_h5):
     want = fm.forward(x)
     got = kmodel(x, training=False).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_parity_mobilenetv2_lite(tmp_path, legacy_h5):
+    """FULL-MODEL parity against real TensorFlow: the complete
+    DeepLabV3+ MobileNetV2-Lite graph built with actual Keras layers
+    (tests/keras_twin.py), randomized weights saved by Keras's own legacy
+    h5 writer, imported strict=True by load_keras_h5_weights — flax
+    logits must reproduce the Keras logits. This is the end-to-end
+    evidence for 'reference checkpoints produce the same predictions
+    here' (17 inverted-res blocks incl. dilated stage, ASPP-Lite image
+    pooling + broadcast, biased logits conv, x16 bilinear upsample)."""
+    import h5py
+
+    from keras_twin import build_mobilenetv2_lite_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 6
+    kmodel = build_mobilenetv2_lite_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=21)
+    path = str(tmp_path / "mnv2_lite.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(2, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("mobilenetv2_lite", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (2, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
