@@ -248,7 +248,10 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
         # runs layer-weight conversions that mangle modern layouts.
         mw.attrs["keras_version"] = b"2.15.0"
         for lname, weights in layers.items():
-            g = mw.create_group(lname)
+            # require_group: MobileNetV3-style layer names contain '/'
+            # ('expanded_conv_1/squeeze_excite/Conv'), so one layer's name
+            # may already exist as another's intermediate group
+            g = mw.require_group(lname)
             ordered = sorted(weights, key=lambda w: _KERAS_ORDER.get(w, 9))
             # Keras nests '<layer>/<layer>/<weight>:0'
             g.attrs["weight_names"] = [
