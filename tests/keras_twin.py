@@ -138,3 +138,113 @@ def randomize_keras_weights(model, seed: int = 0) -> None:
                 new.append(rng.randn(*w.shape).astype(np.float32)
                            * (0.4 / max(1, int(np.prod(w.shape[:-1])) ** 0.5)))
         layer.set_weights(new)
+
+
+def build_mobilenetv3_small_lite_keras(num_classes: int,
+                                       input_hw: tuple[int, int],
+                                       alpha: float = 1.0):
+    """OS16 MobileNetV3-Small + ASPP-Lite head twin
+    (deeplabv3p_tpu/models/mobilenetv3.py small stack, reference
+    deeplabv3p_mobilenetv3.py:469-505).
+
+    Keras 3 forbids '/' in layer names, so the reference's scoped names
+    ('expanded_conv_3/squeeze_excite/Conv') are built here with the
+    package's '--' encoding; rename_h5_scoped_layers() converts the saved
+    h5 to the real reference layout before import."""
+    import keras
+
+    L = keras.layers
+
+    def hard_swish(t):
+        return t * keras.ops.clip(t + 3.0, 0.0, 6.0) / 6.0
+
+    def hard_sigmoid(t):
+        return keras.ops.clip(t + 3.0, 0.0, 6.0) / 6.0
+
+    def depth(d):
+        return _make_divisible(d * alpha, 8)
+
+    def bn(name):
+        return L.BatchNormalization(epsilon=1e-3, momentum=0.999, name=name)
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.Conv2D(16, 3, strides=2, padding="same", use_bias=False,
+                 name="Conv")(inp)
+    x = bn("Conv--BatchNorm")(x)
+    x = L.Lambda(hard_swish)(x)
+
+    def block(x, expansion, filters, k, stride, se, act, bid, skip, rate=1):
+        infilters = x.shape[-1]
+        prefix = f"expanded_conv_{bid}--" if bid else "expanded_conv--"
+        shortcut = x
+        if bid:
+            x = L.Conv2D(_make_divisible(infilters * expansion, 8), 1,
+                         use_bias=False, name=prefix + "expand")(x)
+            x = bn(prefix + "expand--BatchNorm")(x)
+            x = L.Lambda(hard_swish)(x) if act == "hs" else L.ReLU()(x)
+        x = L.DepthwiseConv2D(k, strides=stride, dilation_rate=rate,
+                              padding="same", use_bias=False,
+                              name=prefix + "depthwise--Conv")(x)
+        x = bn(prefix + "depthwise--BatchNorm")(x)
+        x = L.Lambda(hard_swish)(x) if act == "hs" else L.ReLU()(x)
+        if se:
+            se_ch = _make_divisible(infilters * expansion, 8)
+            s = L.GlobalAveragePooling2D(keepdims=True)(x)
+            s = L.Conv2D(_make_divisible(int(se_ch * 0.25), 8), 1,
+                         use_bias=True,
+                         name=prefix + "squeeze_excite--Conv")(s)
+            s = L.ReLU()(s)
+            s = L.Conv2D(se_ch, 1, use_bias=True,
+                         name=prefix + "squeeze_excite--Conv_1")(s)
+            s = L.Lambda(hard_sigmoid)(s)
+            x = L.Multiply()([x, s])
+        x = L.Conv2D(filters, 1, use_bias=False, name=prefix + "project")(x)
+        x = bn(prefix + "project--BatchNorm")(x)
+        if skip:
+            x = L.Add()([x, shortcut])
+        return x
+
+    # small stack at OS16: os16_stride=2, os16_rate=1, os32_rate=2
+    # (mobilenetv3.py:156-178)
+    x = block(x, 1, depth(16), 3, 2, True, "re", 0, False)
+    x = block(x, 72.0 / 16, depth(24), 3, 2, None, "re", 1, False)
+    x = block(x, 88.0 / 24, depth(24), 3, 1, None, "re", 2, True)
+    x = block(x, 4, depth(40), 5, 2, True, "hs", 3, False)
+    x = block(x, 6, depth(40), 5, 1, True, "hs", 4, True)
+    x = block(x, 6, depth(40), 5, 1, True, "hs", 5, True)
+    x = block(x, 3, depth(48), 5, 1, True, "hs", 6, False)
+    x = block(x, 3, depth(48), 5, 1, True, "hs", 7, True)
+    x = block(x, 6, depth(96), 5, 1, True, "hs", 8, False)
+    x = block(x, 6, depth(96), 5, 1, True, "hs", 9, True, rate=2)
+    x = block(x, 6, depth(96), 5, 1, True, "hs", 10, True, rate=2)
+
+    # ASPP-Lite head + logits (same as the mnv2_lite twin)
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    b4 = L.AveragePooling2D(pool_size=(fh, fw))(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = L.BatchNormalization(epsilon=1e-5, name="image_pooling_BN")(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = L.BatchNormalization(epsilon=1e-5, name="aspp0_BN")(b0)
+    b0 = L.ReLU()(b0)
+    x = L.Concatenate()([b4, b0])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = L.BatchNormalization(epsilon=1e-5, name="concat_projection_BN")(x)
+    x = L.ReLU()(x)
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    x = L.UpSampling2D(size=16, interpolation="bilinear")(x)
+    return keras.Model(inp, x)
+
+
+def rename_h5_scoped_layers(h5_path: str) -> None:
+    """Convert '--'-encoded layer-group names in a saved legacy h5 back to
+    the reference's '/'-scoped names (Keras 3 cannot create them natively;
+    Keras 2 era files — the reference's — use them directly)."""
+    import h5py
+
+    with h5py.File(h5_path, "r+") as f:
+        mw = f["model_weights"]
+        for name in list(mw.keys()):
+            if "--" in name:
+                mw.move(name, name.replace("--", "/"))

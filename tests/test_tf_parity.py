@@ -288,3 +288,46 @@ def test_full_model_parity_mobilenetv2_lite(tmp_path, legacy_h5):
     assert got.shape == want.shape == (2, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_mobilenetv3_small_lite(tmp_path, legacy_h5):
+    """Second full-model oracle: MobileNetV3-Small-Lite — exercises the
+    '/'-scoped layer-name encoding ('expanded_conv_3/squeeze_excite/Conv'
+    via '--' in flax module names), squeeze-excite blocks, hard-swish /
+    hard-sigmoid, 5x5 strided depthwise, and the dilated OS32 stage,
+    all against real Keras execution."""
+    import h5py
+
+    from keras_twin import (
+        build_mobilenetv3_small_lite_keras,
+        randomize_keras_weights,
+        rename_h5_scoped_layers,
+    )
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 6
+    kmodel = build_mobilenetv3_small_lite_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=33)
+    path = str(tmp_path / "mnv3s_lite.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+    rename_h5_scoped_layers(path)
+
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("mobilenetv3small_lite", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (2, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
