@@ -248,3 +248,121 @@ def rename_h5_scoped_layers(h5_path: str) -> None:
         for name in list(mw.keys()):
             if "--" in name:
                 mw.move(name, name.replace("--", "/"))
+
+
+def build_xception_keras(num_classes: int, input_hw: tuple[int, int]):
+    """OS16 DeepLabV3+ Xception twin — full ASPP + decoder head
+    (deeplabv3p_tpu/models/xception.py + models/layers.py ASPP/Decoder;
+    reference deeplabv3p_xception.py:96-238, layers.py:114-219).
+
+    Exercises at model scale: the manual effective-kernel pad for strided
+    SepConv (ZeroPadding2D + 'valid'), conv/sum/none block shortcuts, the
+    three dilated ASPP branches, image pooling, and the two-stage bilinear
+    decoder."""
+    import keras
+
+    L = keras.layers
+
+    def bn(name, eps=1e-3):
+        return L.BatchNormalization(epsilon=eps, name=name)
+
+    def sep_conv_bn(x, filters, prefix, stride=1, rate=1,
+                    depth_activation=False, eps=1e-3):
+        if not depth_activation:
+            x = L.ReLU()(x)
+        if stride == 1:
+            x = L.DepthwiseConv2D(3, strides=1, dilation_rate=rate,
+                                  padding="same", use_bias=False,
+                                  name=prefix + "_depthwise")(x)
+        else:
+            keff = 3 + 2 * (rate - 1)
+            pb, pe = (keff - 1) // 2, keff - 1 - (keff - 1) // 2
+            x = L.ZeroPadding2D(((pb, pe), (pb, pe)))(x)
+            x = L.DepthwiseConv2D(3, strides=stride, dilation_rate=rate,
+                                  padding="valid", use_bias=False,
+                                  name=prefix + "_depthwise")(x)
+        x = bn(prefix + "_depthwise_BN", eps)(x)
+        if depth_activation:
+            x = L.ReLU()(x)
+        x = L.Conv2D(filters, 1, use_bias=False,
+                     name=prefix + "_pointwise")(x)
+        x = bn(prefix + "_pointwise_BN", eps)(x)
+        if depth_activation:
+            x = L.ReLU()(x)
+        return x
+
+    def xception_block(x, depths, prefix, skip_type, stride, rate=1,
+                       depth_activation=False, return_skip=False):
+        inputs = x
+        skip = None
+        for i in range(3):
+            x = sep_conv_bn(
+                x, depths[i], f"{prefix}_separable_conv{i + 1}",
+                stride=stride if i == 2 else 1, rate=rate,
+                depth_activation=depth_activation,
+            )
+            if i == 1:
+                skip = x
+        if skip_type == "conv":
+            sc = L.Conv2D(depths[-1], 1, strides=stride, padding="same",
+                          use_bias=False, name=prefix + "_shortcut")(inputs)
+            sc = bn(prefix + "_shortcut_BN")(sc)
+            x = L.Add()([x, sc])
+        elif skip_type == "sum":
+            x = L.Add()([x, inputs])
+        if return_skip:
+            return x, skip
+        return x
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.Conv2D(32, 3, strides=2, padding="same", use_bias=False,
+                 name="entry_flow_conv1_1")(inp)
+    x = bn("entry_flow_conv1_1_BN")(x)
+    x = L.ReLU()(x)
+    x = L.Conv2D(64, 3, padding="same", use_bias=False,
+                 name="entry_flow_conv1_2")(x)
+    x = bn("entry_flow_conv1_2_BN")(x)
+    x = L.ReLU()(x)
+
+    x = xception_block(x, [128] * 3, "entry_flow_block1", "conv", 2)
+    x, skip = xception_block(x, [256] * 3, "entry_flow_block2", "conv", 2,
+                             return_skip=True)
+    # OS16: os16_stride=2, os16_rate=1, os32_stride=1, os32_rate=2
+    x = xception_block(x, [728] * 3, "entry_flow_block3", "conv", 2)
+    for i in range(16):
+        x = xception_block(x, [728] * 3, f"middle_flow_unit_{i + 1}",
+                           "sum", 1)
+    x = xception_block(x, [728, 1024, 1024], "exit_flow_block1", "conv", 1)
+    x = xception_block(x, [1536, 1536, 2048], "exit_flow_block2", "none", 1,
+                       rate=2, depth_activation=True)
+
+    # full ASPP at OS16 rates (6, 12, 18)
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    b4 = L.AveragePooling2D(pool_size=(fh, fw))(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = bn("image_pooling_BN", 1e-5)(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = bn("aspp0_BN", 1e-5)(b0)
+    b0 = L.ReLU()(b0)
+    b1 = sep_conv_bn(x, 256, "aspp1", rate=6, depth_activation=True, eps=1e-5)
+    b2 = sep_conv_bn(x, 256, "aspp2", rate=12, depth_activation=True, eps=1e-5)
+    b3 = sep_conv_bn(x, 256, "aspp3", rate=18, depth_activation=True, eps=1e-5)
+    x = L.Concatenate()([b4, b0, b1, b2, b3])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = bn("concat_projection_BN", 1e-5)(x)
+    x = L.ReLU()(x)
+
+    # decoder to the OS4 skip
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    skip = L.Conv2D(48, 1, use_bias=False, name="feature_projection0")(skip)
+    skip = bn("feature_projection0_BN", 1e-5)(skip)
+    skip = L.ReLU()(skip)
+    x = L.Concatenate()([x, skip])
+    x = sep_conv_bn(x, 256, "decoder_conv0", depth_activation=True, eps=1e-5)
+    x = sep_conv_bn(x, 256, "decoder_conv1", depth_activation=True, eps=1e-5)
+
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    return keras.Model(inp, x)

@@ -331,3 +331,41 @@ def test_full_model_parity_mobilenetv3_small_lite(tmp_path, legacy_h5):
     assert got.shape == want.shape == (2, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_xception(tmp_path, legacy_h5):
+    """Third full-model oracle: the flagship Xception DeepLabV3+ with the
+    FULL head — 3 entry blocks with conv shortcuts (strided explicit-pad
+    SepConvs), 16 sum-shortcut middle units, dilated exit flow, full ASPP
+    (image pooling + 1x1 + three dilated separable branches), and the
+    bilinear decoder with the OS4 skip — against real Keras execution."""
+    import h5py
+
+    from keras_twin import build_xception_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 64, 5
+    kmodel = build_xception_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=55)
+    path = str(tmp_path / "xception.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(8)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("xception", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
