@@ -121,6 +121,37 @@ class DepthwiseConv(nn.Module):
         return conv(x)
 
 
+class ConvTransposeK(nn.Module):
+    """Transpose conv matching Keras Conv2DTranspose semantics.
+
+    flax's ConvTranspose convolves with an UNFLIPPED kernel in
+    (kh, kw, in, out) layout while Keras Conv2DTranspose stores
+    (kh, kw, out, in) and flips spatially; the weight importer maps
+    between the two via this module's 'ct' scope marker
+    (utils/keras_import.py). Parity with real Keras is pinned in
+    tests/test_tf_parity.py::test_conv_transpose_matches_keras.
+    """
+
+    features: int
+    kernel_size: int = 2
+    strides: int = 2
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.ConvTranspose(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="ct",
+        )(x)
+
+
 class ConvBN(nn.Module):
     """1x1/3x3 conv + BN (+ optional activation) convenience block."""
 

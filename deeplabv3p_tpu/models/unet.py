@@ -21,7 +21,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from deeplabv3p_tpu.models.layers import BatchNorm, DepthwiseConv, _conv
+from deeplabv3p_tpu.models.layers import (
+    BatchNorm,
+    ConvTransposeK,
+    DepthwiseConv,
+    _conv,
+)
 from deeplabv3p_tpu.ops.resize import resize_nearest
 
 
@@ -92,9 +97,9 @@ class _UNetEncDec(nn.Module):
         conv5 = nn.Dropout(0.5, deterministic=not train)(conv5)
 
         def up(x, filters, idx):
-            x = nn.ConvTranspose(
-                filters, (2, 2), strides=(2, 2), padding="SAME", dtype=dt,
-                param_dtype=jnp.float32, name=f"up{idx}",
+            x = ConvTransposeK(
+                filters, kernel_size=2, strides=2, dtype=dt,
+                name=f"up{idx}",
             )(x)
             return nn.relu(x)
 
@@ -157,14 +162,12 @@ class UNetSimple(nn.Module):
 
         for i, filters in enumerate([256, 128, 64, 32]):
             x = nn.relu(x)
-            x = nn.ConvTranspose(filters, (3, 3), padding="SAME", dtype=dt,
-                                 param_dtype=jnp.float32,
-                                 name=f"up{i}_conv0")(x)
+            x = ConvTransposeK(filters, kernel_size=3, strides=1, dtype=dt,
+                               name=f"up{i}_conv0")(x)
             x = BatchNorm(dtype=dt, name=f"up{i}_BN0")(x, train=train)
             x = nn.relu(x)
-            x = nn.ConvTranspose(filters, (3, 3), padding="SAME", dtype=dt,
-                                 param_dtype=jnp.float32,
-                                 name=f"up{i}_conv1")(x)
+            x = ConvTransposeK(filters, kernel_size=3, strides=1, dtype=dt,
+                               name=f"up{i}_conv1")(x)
             x = BatchNorm(dtype=dt, name=f"up{i}_BN1")(x, train=train)
             x = _up2(x)
             residual = _conv(filters, 1, use_bias=True, name=f"up{i}_res",

@@ -38,7 +38,7 @@ _CONTAINER_RE = re.compile(
 )
 # 'bn'/'dw' are structural wrapper scopes inside BatchNorm/DepthwiseConv
 # modules; note PeleeNet's '<name>_conv' layers keep their 'conv' component.
-_WRAPPER_NAMES = frozenset({"bn", "dw", "c", "mha"})
+_WRAPPER_NAMES = frozenset({"bn", "dw", "c", "mha", "ct"})
 
 _PARAM_TO_KERAS = {
     # our leaf name -> candidate Keras weight names (in priority order)
@@ -148,6 +148,15 @@ def load_keras_h5_weights(
             continue
 
         is_dw = bool(module_path) and module_path[-1] == "dw"
+        is_ct = bool(module_path) and module_path[-1] == "ct"
+        if is_ct and leaf_name == "kernel":
+            # Keras Conv2DTranspose stores a spatially-flipped kernel in
+            # (kh, kw, out, in); flax ConvTranspose wants an unflipped
+            # (kh, kw, in, out) (verified vs real Keras,
+            # tests/test_tf_parity.py::test_conv_transpose_matches_keras)
+            value = np.ascontiguousarray(
+                value[::-1, ::-1].transpose(0, 1, 3, 2)
+            )
         if src == "depthwise_kernel:0" or (
             # Keras 3 names the DepthwiseConv2D kernel plain 'kernel'
             # but keeps the (H,W,C,1) layout — transpose on shape evidence.
@@ -238,6 +247,12 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
         value = np.asarray(leaf)
         if wname == "depthwise_kernel:0":
             value = value.transpose(0, 1, 3, 2)  # (H,W,1,C)→(H,W,C,1)
+        if leaf_name == "kernel" and module_path and module_path[-1] == "ct":
+            # flax ConvTranspose (kh,kw,in,out) → Keras Conv2DTranspose
+            # flipped (kh,kw,out,in); involutive, same map as import
+            value = np.ascontiguousarray(
+                value[::-1, ::-1].transpose(0, 1, 3, 2)
+            )
         layers.setdefault(lname, {}).setdefault(wname, value)
 
     with h5py.File(h5_path, "w") as f:

@@ -366,3 +366,49 @@ def build_xception_keras(num_classes: int, input_hw: tuple[int, int]):
     x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
     x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
     return keras.Model(inp, x)
+
+
+def build_unet_standard_keras(num_classes: int, input_hw: tuple[int, int]):
+    """UNet-Standard twin (deeplabv3p_tpu/models/unet.py:_UNetEncDec;
+    reference unet/models/unet.py:14-79): 64..1024 double-conv encoder
+    with maxpools + dropout at depths 4/5, Conv2DTranspose 2x2/2
+    upsampling with [skip, up] concats, 2ch relu conv + 1x1 head."""
+    import keras
+
+    L = keras.layers
+
+    def double_conv(x, filters, idx):
+        for j in range(2):
+            x = L.Conv2D(filters, 3, padding="same", use_bias=True,
+                         name=f"conv{idx}_{j}")(x)
+            x = L.ReLU()(x)
+        return x
+
+    inp = keras.Input((*input_hw, 3))
+    c1 = double_conv(inp, 64, 1)
+    p1 = L.MaxPooling2D(2)(c1)
+    c2 = double_conv(p1, 128, 2)
+    p2 = L.MaxPooling2D(2)(c2)
+    c3 = double_conv(p2, 256, 3)
+    p3 = L.MaxPooling2D(2)(c3)
+    c4 = double_conv(p3, 512, 4)
+    p4 = L.MaxPooling2D(2)(c4)  # dropout omitted (inference compare)
+    c5 = double_conv(p4, 1024, 5)
+
+    def up(x, filters, idx):
+        x = L.Conv2DTranspose(filters, 2, strides=2, padding="same",
+                              use_bias=True, name=f"up{idx}")(x)
+        return L.ReLU()(x)
+
+    x = L.Concatenate()([c4, up(c5, 512, 6)])
+    x = double_conv(x, 512, 6)
+    x = L.Concatenate()([c3, up(x, 256, 7)])
+    x = double_conv(x, 256, 7)
+    x = L.Concatenate()([c2, up(x, 128, 8)])
+    x = double_conv(x, 128, 8)
+    x = L.Concatenate()([c1, up(x, 64, 9)])
+    x = double_conv(x, 64, 9)
+    x = L.Conv2D(2, 3, padding="same", use_bias=True, name="conv9_2")(x)
+    x = L.ReLU()(x)
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="head")(x)
+    return keras.Model(inp, x)

@@ -369,3 +369,96 @@ def test_full_model_parity_xception(tmp_path, legacy_h5):
     assert got.shape == want.shape == (1, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_conv_transpose_matches_keras():
+    """ConvTransposeK == Keras Conv2DTranspose(padding='same', stride 2):
+    Keras stores a spatially-flipped (kh,kw,out,in) kernel; the importer's
+    flip+transpose map makes the two exactly equal (UNet upsampling,
+    reference unet/models/unet.py:40-60)."""
+    from deeplabv3p_tpu.models.layers import ConvTransposeK
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(1, 5, 5, 3).astype(np.float32)
+    k = rng.randn(2, 2, 4, 3).astype(np.float32)  # Keras (kh,kw,out,in)
+    b = rng.randn(4).astype(np.float32)
+
+    kl = keras.layers.Conv2DTranspose(4, 2, strides=2, padding="same")
+    kl.build((None, 5, 5, 3))
+    kl.set_weights([k, b])
+    want = kl(x).numpy()
+
+    m = ConvTransposeK(4, kernel_size=2, strides=2)
+    flax_k = np.ascontiguousarray(k[::-1, ::-1].transpose(0, 1, 3, 2))
+    got = m.apply(
+        {"params": {"ct": {"kernel": jnp.asarray(flax_k),
+                           "bias": jnp.asarray(b)}}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_subpixel_phase_shift_matches_reference_formula():
+    """Subpixel head == the reference's _phase_shift executed with real TF
+    ops (reference layers.py:291-302: reshape → permute (0,1,2,5,4,3) →
+    per-row/col concat interleave)."""
+    from deeplabv3p_tpu.models.layers import Subpixel
+
+    r, cin, cout, hw = 2, 6, 3, 5
+    rng = np.random.RandomState(14)
+    x = rng.randn(1, hw, hw, cin).astype(np.float32)
+    k = rng.randn(1, 1, cin, cout * r * r).astype(np.float32)
+    b = rng.randn(cout * r * r).astype(np.float32)
+
+    m = Subpixel(cout, kernel_size=1, r=r)
+    got = m.apply(
+        {"params": {"conv": {"kernel": jnp.asarray(k),
+                             "bias": jnp.asarray(b)}}},
+        jnp.asarray(x),
+    )
+
+    conv = tf.nn.conv2d(x, k, strides=1, padding="SAME") + b
+    a, bb = hw, hw
+    X = tf.reshape(conv, [1, a, bb, cout, r, r])
+    X = tf.transpose(X, (0, 1, 2, 5, 4, 3))  # b, a, b, r, r, c'
+    X = tf.concat([X[:, i] for i in range(a)], axis=2)   # b, b, a*r, r, c'
+    X = tf.concat([X[:, i] for i in range(bb)], axis=2)  # b, a*r, b*r, c'
+    want = X.numpy()
+    assert got.shape == want.shape == (1, hw * r, hw * r, cout)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_full_model_parity_unet_standard(tmp_path, legacy_h5):
+    """Fourth full-model oracle: UNet-Standard — pins Conv2DTranspose
+    import semantics (flip + layout transpose) inside a real model, plus
+    maxpool/concat/double-conv topology, against real Keras execution."""
+    import h5py
+
+    from keras_twin import build_unet_standard_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_segmentation_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 64, 4
+    kmodel = build_unet_standard_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=77)
+    path = str(tmp_path / "unet.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(10)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_segmentation_model("unet_standard", ncls)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
