@@ -92,6 +92,15 @@ def _h5_weight_groups(h5file):
             for i in range(1, len(scope) + 1):
                 key = "/".join(scope[:i])
                 layers.setdefault(key, {}).setdefault(weight, arr)
+            # Keras h5 doubles the layer name ('<layer>/<layer>/<sub>/<w>',
+            # e.g. MultiHeadAttention 'tx_attention/tx_attention/query/
+            # kernel'); expose the weight under the de-doubled scope too
+            # ('tx_attention/query') — the path our layer-name mapping
+            # produces (verified vs real Keras, tests/test_tf_parity.py).
+            for i in range(1, len(scope) // 2 + 1):
+                if scope[:i] == scope[i : 2 * i] and len(scope) > 2 * i:
+                    key = "/".join(scope[:i] + scope[2 * i :])
+                    layers.setdefault(key, {}).setdefault(weight, arr)
 
     root.visititems(collect)
     return layers

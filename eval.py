@@ -41,9 +41,12 @@ def main(args):
     num_classes = len(class_names)
     input_shape = parse_input_shape(args.model_input_shape)
 
+    # fused Pallas ASPP on real TPU only (equality-tested vs the standard
+    # path; off-TPU it would run the slow interpreter)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     model = build_segmentation_model(
         args.model_type, num_classes, output_stride=args.output_stride,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, fused_aspp=on_tpu,
     )
     if args.model_path.endswith(".shlo"):
         # exported StableHLO artifact: weights baked in; wrap as a

@@ -1,16 +1,17 @@
-"""Keras-3 twin of deeplabv3p_mobilenetv2_lite — a TEST ORACLE.
+"""Keras-3 twins of reference model families — TEST ORACLES.
 
-Builds the full DeepLabV3+ MobileNetV2-Lite graph with REAL Keras layers,
-using the same layer names as the reference architecture (and therefore
-as our flax module tree), so weights interchange by name through the
-legacy h5 format. tests/test_tf_parity.py uses it to prove FULL-MODEL
-numerical parity of the flax implementation + h5 importer against actual
+Builds full model graphs (MobileNetV2-Lite, MobileNetV3-Small-Lite,
+Xception full-head, UNet-Standard) with REAL Keras layers, using the same
+layer names as the reference architecture (and therefore as our flax
+module tree), so weights interchange by name through the legacy h5
+format. tests/test_tf_parity.py uses them to prove FULL-MODEL numerical
+parity of the flax implementations + h5 importer against actual
 TensorFlow execution — the end-to-end evidence behind the "reference
 checkpoints produce the same masks here" claim.
 
-Written from this package's own module structure
-(deeplabv3p_tpu/models/mobilenetv2.py, models/layers.py:ASPPLite), which
-mirrors the reference semantics (deeplabv3p_mobilenetv2.py:273-351).
+Written from this package's own module structure (models/mobilenetv2.py,
+models/mobilenetv3.py, models/xception.py, models/unet.py,
+models/layers.py), which mirrors the reference semantics.
 """
 
 from __future__ import annotations

@@ -462,3 +462,82 @@ def test_full_model_parity_unet_standard(tmp_path, legacy_h5):
     assert got.shape == want.shape == (1, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+@pytest.mark.parametrize("rate", [2, 4])
+def test_conv_dilated_same_matches_tf(rate):
+    """Regular (non-depthwise) dilated conv with 'SAME' — the ResNet50
+    dilated stages 4/5 (reference deeplabv3p_resnet50.py:273-283)."""
+    rng = np.random.RandomState(15)
+    x = rng.randn(1, 33, 33, 4).astype(np.float32)
+    k = rng.randn(3, 3, 4, 6).astype(np.float32)
+    ours = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), "SAME",
+        rhs_dilation=(rate, rate),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    theirs = tf.nn.conv2d(
+        x, k, strides=1, padding="SAME", dilations=rate
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_block_matches_keras_mha(tmp_path, legacy_h5):
+    """MobileViT's TransformerBlock (LN → MHA → add → LN → FF swish → add)
+    vs a real keras.layers.MultiHeadAttention twin, weights interchanged
+    through Keras's own legacy h5 writer. Pins the MHA einsum-dense
+    weight layouts ((C,H,Dk) qkv, (H,Dk,C) output), the query 1/sqrt(Dk)
+    scaling, LayerNorm mapping, and the doubled-layer-name h5 scoping
+    ('tx_attention/tx_attention/query/kernel')."""
+    import h5py
+
+    import flax.linen as nn
+
+    from deeplabv3p_tpu.models.mobilevit import TransformerBlock
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    L_TOK, C = 16, 24
+    inp = keras.Input((L_TOK, C))
+    x1 = keras.layers.LayerNormalization(
+        epsilon=1e-6, name="transformer_0_LN1"
+    )(inp)
+    att = keras.layers.MultiHeadAttention(
+        num_heads=1, key_dim=C, name="transformer_0_attention"
+    )(x1, x1)
+    x2 = keras.layers.Add()([att, inp])
+    x3 = keras.layers.LayerNormalization(
+        epsilon=1e-6, name="transformer_0_LN2"
+    )(x2)
+    x3 = keras.layers.Dense(2 * C, name="transformer_0_ff_0_dense")(x3)
+    x3 = keras.layers.Activation("silu")(x3)
+    x3 = keras.layers.Dense(C, name="transformer_0_ff_1_dense")(x3)
+    out = keras.layers.Add()([x3, x2])
+    kmodel = keras.Model(inp, out)
+
+    rng = np.random.RandomState(17)
+    for layer in kmodel.layers:
+        ws = layer.get_weights()
+        if ws:
+            layer.set_weights(
+                [rng.randn(*w.shape).astype(np.float32) * 0.3 for w in ws]
+            )
+
+    path = str(tmp_path / "tx.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    x = rng.randn(2, L_TOK, C).astype(np.float32)
+    want = kmodel(x, training=False).numpy()
+
+    class Tx(nn.Module):
+        @nn.compact
+        def __call__(self, t, train=False):
+            return TransformerBlock(C, 1, 0.0, name="transformer_0")(
+                t, train=train
+            )
+
+    model = Tx()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, L_TOK, C)))
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
