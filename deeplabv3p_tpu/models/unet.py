@@ -31,7 +31,13 @@ from deeplabv3p_tpu.ops.resize import resize_nearest
 
 
 class SeparableConv(nn.Module):
-    """Keras SeparableConv2D: depthwise + pointwise (with bias)."""
+    """Keras SeparableConv2D: depthwise + pointwise (with bias).
+
+    In Keras this is ONE layer holding depthwise_kernel / pointwise_kernel
+    / bias in a single h5 group; the 'sep_dw' / 'sep_pw' scope markers let
+    the weight importer map both sub-convs onto that one layer name
+    (utils/keras_import.py; pinned vs real Keras SeparableConv2D in
+    tests/test_tf_parity.py)."""
 
     features: int
     kernel_size: int = 3
@@ -44,10 +50,10 @@ class SeparableConv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = DepthwiseConv(
             kernel_size=self.kernel_size, strides=self.strides,
-            rate=self.rate, dtype=self.dtype, name="depthwise",
+            rate=self.rate, dtype=self.dtype, name="sep_dw",
         )(x)
         return _conv(
-            self.features, 1, use_bias=self.use_bias, name="pointwise",
+            self.features, 1, use_bias=self.use_bias, name="sep_pw",
             dtype=self.dtype,
         )(x)
 

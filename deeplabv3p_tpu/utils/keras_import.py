@@ -38,7 +38,7 @@ _CONTAINER_RE = re.compile(
 )
 # 'bn'/'dw' are structural wrapper scopes inside BatchNorm/DepthwiseConv
 # modules; note PeleeNet's '<name>_conv' layers keep their 'conv' component.
-_WRAPPER_NAMES = frozenset({"bn", "dw", "c", "mha", "ct"})
+_WRAPPER_NAMES = frozenset({"bn", "dw", "c", "mha", "ct", "sep", "sep_dw", "sep_pw"})
 
 _PARAM_TO_KERAS = {
     # our leaf name -> candidate Keras weight names (in priority order)
@@ -143,6 +143,9 @@ def load_keras_h5_weights(
         is_bn = "scale" in _collect_sibling_names(variables, keys)
         if leaf_name == "bias" and is_bn:
             candidates = _BN_BIAS
+        elif leaf_name == "kernel" and "sep_pw" in module_path:
+            # pointwise half of a Keras SeparableConv2D single layer
+            candidates = ("pointwise_kernel:0", "kernel:0")
         else:
             candidates = _PARAM_TO_KERAS.get(leaf_name, ())
 
@@ -230,6 +233,7 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
         "kernel:0": 0,
         "depthwise_kernel:0": 0,
         "gamma:0": 0,
+        "pointwise_kernel:0": 0.5,  # SeparableConv2D: dw, pw, bias
         "bias:0": 1,
         "beta:0": 1,
         "moving_mean:0": 2,
@@ -245,7 +249,12 @@ def save_keras_h5_weights(h5_path: str, variables: Any) -> None:
         is_dw = module_path and module_path[-1] == "dw"
 
         if leaf_name == "kernel":
-            wname = "depthwise_kernel:0" if is_dw else "kernel:0"
+            if is_dw:
+                wname = "depthwise_kernel:0"
+            elif "sep_pw" in module_path:
+                wname = "pointwise_kernel:0"
+            else:
+                wname = "kernel:0"
         elif leaf_name == "bias":
             wname = "beta:0" if is_bn else "bias:0"
         elif leaf_name in leaf_to_keras:

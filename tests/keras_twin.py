@@ -413,3 +413,84 @@ def build_unet_standard_keras(num_classes: int, input_hw: tuple[int, int]):
     x = L.ReLU()(x)
     x = L.Conv2D(num_classes, 1, use_bias=True, name="head")(x)
     return keras.Model(inp, x)
+
+
+def build_fast_scnn_keras(num_classes: int, input_hw: tuple[int, int]):
+    """Fast-SCNN twin (deeplabv3p_tpu/models/fast_scnn.py; reference
+    fast_scnn/models/fast_scnn.py:86-149): learning-to-downsample with
+    SeparableConv2D (ONE Keras layer per sep conv — pins the
+    depthwise/pointwise single-group h5 mapping), bottleneck stages,
+    pyramid pooling bins [2,4,6,8], feature fusion, classifier."""
+    import keras
+
+    L = keras.layers
+
+    def conv_block(x, filters, name, k=3, strides=1, relu=True,
+                   separable=False):
+        if separable:
+            x = L.SeparableConv2D(filters, k, strides=strides,
+                                  padding="same", use_bias=True, name=name)(x)
+        else:
+            x = L.Conv2D(filters, k, strides=strides, padding="same",
+                         use_bias=True, name=name + "_conv")(x)
+        x = L.BatchNormalization(name=name + "_BN")(x)
+        if relu:
+            x = L.ReLU()(x)
+        return x
+
+    def bottleneck(x, filters, strides, name, residual):
+        inputs = x
+        t = 6
+        x = conv_block(x, x.shape[-1] * t, name + "_expand", k=1)
+        x = L.DepthwiseConv2D(3, strides=strides, padding="same",
+                              use_bias=True, name=name + "_depthwise")(x)
+        x = L.BatchNormalization(name=name + "_dw_BN")(x)
+        x = L.ReLU()(x)
+        x = conv_block(x, filters, name + "_project", k=1, relu=False)
+        if residual:
+            x = L.Add()([x, inputs])
+        return x
+
+    inp = keras.Input((*input_hw, 3))
+    x = conv_block(inp, 32, "lds_conv", strides=2)
+    x = conv_block(x, 48, "lds_ds1", strides=2, separable=True)
+    lds = conv_block(x, 64, "lds_ds2", strides=2, separable=True)
+
+    x = lds
+    for sid, (filters, strides) in enumerate([(64, 2), (96, 2), (128, 1)]):
+        for i in range(3):
+            x = bottleneck(x, filters, strides if i == 0 else 1,
+                           f"gfe{sid}_{i}", residual=i > 0)
+
+    # pyramid pooling bins [2,4,6,8]
+    h, w = x.shape[1], x.shape[2]
+    outs = [x]
+    for bin_size in (2, 4, 6, 8):
+        ph, pw = max(1, h // bin_size), max(1, w // bin_size)
+        p = L.AveragePooling2D(pool_size=(ph, pw))(x)
+        p = L.Conv2D(128, 3, strides=2, padding="same", use_bias=True,
+                     name=f"ppm_bin{bin_size}_conv")(p)
+        p = L.Lambda(
+            lambda t, hw=(h, w): keras.ops.image.resize(
+                t, hw, interpolation="bilinear"
+            )
+        )(p)
+        outs.append(p)
+    x = L.Concatenate()(outs)
+
+    ff1 = conv_block(lds, 128, "ff_low", k=1, relu=False)
+    ff2 = L.UpSampling2D(4, interpolation="nearest")(x)
+    ff2 = L.SeparableConv2D(128, 3, dilation_rate=4, padding="same",
+                            use_bias=True, name="ff_dsconv")(ff2)
+    ff2 = L.BatchNormalization(name="ff_dsconv_BN")(ff2)
+    ff2 = L.ReLU()(ff2)
+    ff2 = L.Conv2D(128, 1, use_bias=True, name="ff_conv")(ff2)
+    x = L.Add()([ff1, ff2])
+    x = L.BatchNormalization(name="ff_BN")(x)
+    x = L.ReLU()(x)
+
+    x = conv_block(x, 128, "DSConv1_classifier", separable=True)
+    x = conv_block(x, 128, "DSConv2_classifier", separable=True)
+    x = conv_block(x, num_classes, "classifier_conv", k=1, relu=False)
+    x = L.UpSampling2D(8, interpolation="nearest")(x)
+    return keras.Model(inp, x)

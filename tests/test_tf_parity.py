@@ -541,3 +541,41 @@ def test_transformer_block_matches_keras_mha(tmp_path, legacy_h5):
     variables = load_keras_h5_weights(path, variables, strict=True)
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_parity_fast_scnn(tmp_path, legacy_h5):
+    """Fifth full-model oracle: Fast-SCNN — pins the Keras
+    SeparableConv2D single-layer h5 mapping (depthwise_kernel /
+    pointwise_kernel / bias in one group), biased depthwise convs,
+    pyramid-pooling bins with bilinear resize-back, and nearest
+    upsampling, against real Keras execution."""
+    import h5py
+
+    from keras_twin import build_fast_scnn_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_segmentation_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 5
+    kmodel = build_fast_scnn_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=91)
+    path = str(tmp_path / "fast_scnn.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(12)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_segmentation_model("fast_scnn", ncls)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
