@@ -579,3 +579,72 @@ def test_full_model_parity_fast_scnn(tmp_path, legacy_h5):
     assert got.shape == want.shape == (1, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_mobilevit_unfolding_equals_global_attention(tmp_path, legacy_h5):
+    """Prove the MobileViT 'unfolding' quirk claim against real Keras:
+    the reference unfolds (H,W,C) -> Reshape (P,N,C) and applies
+    MultiHeadAttention with DEFAULT attention_axes — i.e. joint attention
+    over both (P,N) axes = full global attention over H*W tokens
+    (reference deeplabv3p_mobilevit.py:193-216 + :152-175). Our
+    TransformerBlock on plainly-flattened (H*W, C) tokens must therefore
+    reproduce the Keras unfold->MHA->fold exactly."""
+    import h5py
+
+    import flax.linen as nn
+
+    from deeplabv3p_tpu.models.mobilevit import TransformerBlock
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    H = W = 8
+    C = 16
+    P, N = 4, (H * W) // 4  # 2x2 patches, reference layout
+
+    inp = keras.Input((H, W, C))
+    t = keras.layers.Reshape((P, N, C))(inp)  # the reference's 'unfold'
+    x1 = keras.layers.LayerNormalization(
+        epsilon=1e-6, name="transformer_0_LN1"
+    )(t)
+    att = keras.layers.MultiHeadAttention(
+        num_heads=1, key_dim=C, name="transformer_0_attention"
+    )(x1, x1)  # default attention_axes: joint over (P, N)
+    x2 = keras.layers.Add()([att, t])
+    x3 = keras.layers.LayerNormalization(
+        epsilon=1e-6, name="transformer_0_LN2"
+    )(x2)
+    x3 = keras.layers.Dense(2 * C, name="transformer_0_ff_0_dense")(x3)
+    x3 = keras.layers.Activation("silu")(x3)
+    x3 = keras.layers.Dense(C, name="transformer_0_ff_1_dense")(x3)
+    out = keras.layers.Add()([x3, x2])
+    out = keras.layers.Reshape((H, W, C))(out)  # fold
+    kmodel = keras.Model(inp, out)
+
+    rng = np.random.RandomState(19)
+    for layer in kmodel.layers:
+        ws = layer.get_weights()
+        if ws:
+            layer.set_weights(
+                [rng.randn(*w.shape).astype(np.float32) * 0.3 for w in ws]
+            )
+    path = str(tmp_path / "mvit_tx.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    x = rng.randn(2, H, W, C).astype(np.float32)
+    want = kmodel(x, training=False).numpy()
+
+    class Tx(nn.Module):
+        @nn.compact
+        def __call__(self, imgs, train=False):
+            n, h, w, c = imgs.shape
+            tokens = imgs.reshape(n, h * w, c)  # our global flatten
+            tokens = TransformerBlock(C, 1, 0.0, name="transformer_0")(
+                tokens, train=train
+            )
+            return tokens.reshape(n, h, w, c)
+
+    model = Tx()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, C)))
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
