@@ -494,3 +494,278 @@ def build_fast_scnn_keras(num_classes: int, input_hw: tuple[int, int]):
     x = conv_block(x, num_classes, "classifier_conv", k=1, relu=False)
     x = L.UpSampling2D(8, interpolation="nearest")(x)
     return keras.Model(inp, x)
+
+
+def _aspp_lite_head(L, x, num_classes, feat_hw):
+    """Shared ASPP-Lite + logits tail used by the *_lite twins."""
+    fh, fw = feat_hw
+    b4 = L.AveragePooling2D(pool_size=(fh, fw))(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = L.BatchNormalization(epsilon=1e-5, name="image_pooling_BN")(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = L.BatchNormalization(epsilon=1e-5, name="aspp0_BN")(b0)
+    b0 = L.ReLU()(b0)
+    x = L.Concatenate()([b4, b0])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = L.BatchNormalization(epsilon=1e-5, name="concat_projection_BN")(x)
+    x = L.ReLU()(x)
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    return L.UpSampling2D(size=16, interpolation="bilinear")(x)
+
+
+def build_peleenet_lite_keras(num_classes: int, input_hw: tuple[int, int]):
+    """PeleeNet-Lite twin at OS16 (deeplabv3p_tpu/models/peleenet.py;
+    reference deeplabv3p_peleenet.py:63-253): stem block with parallel
+    maxpool/conv downsample, [3,4,8,6] two-branch dense stages (growth 32,
+    bottleneck widths [1,2,4,4]), 1x1 transitions, OS-controlled average
+    pooling — pins the dense/stem concat ORDERS."""
+    import keras
+
+    L = keras.layers
+
+    def basic(x, ch, name, k=3, s=1, act=True):
+        x = L.Conv2D(ch, k, strides=s, padding="same", use_bias=False,
+                     name=name + "_conv")(x)
+        x = L.BatchNormalization(name=name + "_norm")(x)
+        if act:
+            x = L.ReLU()(x)
+        return x
+
+    def dense_layer(x, bw, name):
+        growth = 16  # growth_rate 32 // 2
+        inter = int(growth * bw / 4) * 4
+        num_in = x.shape[-1]
+        if inter > num_in / 2:
+            inter = int(num_in / 8) * 4
+        b1 = basic(x, inter, name + "_branch1a", k=1)
+        b1 = basic(b1, growth, name + "_branch1b")
+        b2 = basic(x, inter, name + "_branch2a", k=1)
+        b2 = basic(b2, growth, name + "_branch2b")
+        b2 = basic(b2, growth, name + "_branch2c")
+        return L.Concatenate()([x, b1, b2])
+
+    inp = keras.Input((*input_hw, 3))
+    stem = "bbn_features_stemblock"
+    out = basic(inp, 32, stem + "_stem1", s=2)
+    b2 = basic(out, 16, stem + "_stem2a", k=1)
+    b2 = basic(b2, 32, stem + "_stem2b", s=2)
+    b1 = L.MaxPooling2D(2)(out)
+    x = L.Concatenate()([b1, b2])
+    x = basic(x, 32, stem + "_stem3", k=1)
+
+    num_features = 32
+    skip = None
+    for i, num_layers in enumerate([3, 4, 8, 6]):
+        bw = [1, 2, 4, 4][i]
+        for j in range(num_layers):
+            x = dense_layer(
+                x, bw, f"bbn_features_denseblock{i + 1}_denselayer{j + 1}"
+            )
+        num_features += num_layers * 32
+        x = basic(x, num_features, f"bbn_features_transition{i + 1}", k=1)
+        if i < 2:  # OS16: pool after stages 1 and 2
+            x = L.AveragePooling2D(2)(x)
+
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    x = _aspp_lite_head(L, x, num_classes, (fh, fw))
+    return keras.Model(inp, x)
+
+
+def build_ghostnet_lite_keras(num_classes: int, input_hw: tuple[int, int]):
+    """GhostNet-Lite twin at OS16 (deeplabv3p_tpu/models/ghostnet.py;
+    reference deeplabv3p_ghostnet.py:135-285): ghost modules (primary 1x1
+    + cheap depthwise, CONCAT order pinned), SE with hard-sigmoid,
+    dw/1x1 shortcut branches, the OS16 config table with s=-1 'keep'
+    blocks and dilated stage 5."""
+    import keras
+
+    L = keras.layers
+
+    def hard_sigmoid(t):
+        return keras.ops.clip(t + 3.0, 0.0, 6.0) / 6.0
+
+    def make_div(v, d=4):
+        return _make_divisible(v, d)
+
+    def ghost_module(x, out_chs, name, act=True):
+        import math as _m
+
+        init_ch = int(_m.ceil(out_chs / 2))
+        x1 = L.Conv2D(init_ch, 1, use_bias=False,
+                      name=name + "_primary_conv_0")(x)
+        x1 = L.BatchNormalization(name=name + "_primary_conv_1")(x1)
+        if act:
+            x1 = L.ReLU()(x1)
+        x2 = L.DepthwiseConv2D(3, padding="same", use_bias=False,
+                               name=name + "_cheap_operation_0")(x1)
+        x2 = L.BatchNormalization(name=name + "_cheap_operation_1")(x2)
+        if act:
+            x2 = L.ReLU()(x2)
+        return L.Concatenate()([x1, x2])
+
+    def bottleneck(x, k, exp, out_chs, se_ratio, stride, rate, keep, name):
+        inputs = x
+        in_chs = x.shape[-1]
+        mid = make_div(exp)
+        out_chs = make_div(out_chs)
+        x = ghost_module(x, mid, name + "_ghost1", act=True)
+        if stride > 1 or keep:
+            x = L.DepthwiseConv2D(k, strides=stride, dilation_rate=rate,
+                                  padding="same", use_bias=False,
+                                  name=name + "_conv_dw")(x)
+            x = L.BatchNormalization(name=name + "_bn_dw")(x)
+        if se_ratio:
+            red = make_div(int(mid * se_ratio))
+            s = L.GlobalAveragePooling2D(keepdims=True)(x)
+            s = L.Conv2D(red, 1, use_bias=True,
+                         name=name + "_se_conv_reduce")(s)
+            s = L.ReLU()(s)
+            s = L.Conv2D(mid, 1, use_bias=True,
+                         name=name + "_se_conv_expand")(s)
+            s = L.Lambda(hard_sigmoid)(s)
+            x = L.Multiply()([x, s])
+        x = ghost_module(x, out_chs, name + "_ghost2", act=False)
+        if in_chs == out_chs and stride == 1:
+            sc = inputs
+        else:
+            sc = L.DepthwiseConv2D(k, strides=stride, dilation_rate=rate,
+                                   padding="same", use_bias=False,
+                                   name=name + "_shortcut_0")(inputs)
+            sc = L.BatchNormalization(name=name + "_shortcut_1")(sc)
+            sc = L.Conv2D(out_chs, 1, use_bias=False,
+                          name=name + "_shortcut_2")(sc)
+            sc = L.BatchNormalization(name=name + "_shortcut_3")(sc)
+        return L.Add()([x, sc])
+
+    # OS16 table (ghostnet.py:_BASE + STAGE4(2,1) + STAGE5(-1, rate 2))
+    cfgs = [
+        [(3, 16, 16, 0.0, 1, 1)],
+        [(3, 48, 24, 0.0, 2, 1)],
+        [(3, 72, 24, 0.0, 1, 1)],
+        [(5, 72, 40, 0.25, 2, 1)],
+        [(5, 120, 40, 0.25, 1, 1)],
+        [(3, 240, 80, 0.0, 2, 1)],
+        [(3, 200, 80, 0.0, 1, 1), (3, 184, 80, 0.0, 1, 1),
+         (3, 184, 80, 0.0, 1, 1), (3, 480, 112, 0.25, 1, 1),
+         (3, 672, 112, 0.25, 1, 1)],
+        [(5, 672, 160, 0.25, -1, 1)],
+        [(5, 960, 160, 0.0, 1, 2), (5, 960, 160, 0.25, 1, 2),
+         (5, 960, 160, 0.0, 1, 2), (5, 960, 160, 0.25, 1, 2)],
+    ]
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.Conv2D(16, 3, strides=2, padding="same", use_bias=False,
+                 name="conv_stem")(inp)
+    x = L.BatchNormalization(name="bn1")(x)
+    x = L.ReLU()(x)
+    for index, cfg in enumerate(cfgs):
+        for sub_index, (k, exp, c, se, s, r) in enumerate(cfg):
+            keep = s == -1
+            x = bottleneck(x, k, exp, c, se, 1 if keep else s, r, keep,
+                           f"blocks_{index}_{sub_index}")
+
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    x = _aspp_lite_head(L, x, num_classes, (fh, fw))
+    return keras.Model(inp, x)
+
+
+def build_resnet50_keras(num_classes: int, input_hw: tuple[int, int]):
+    """ResNet50 DeepLabV3+ twin at OS16 with the full ASPP+decoder head
+    (deeplabv3p_tpu/models/resnet50.py; reference
+    deeplabv3p_resnet50.py:32-399): explicit-pad 7x7/2 stem + VALID
+    maxpool, biased bottleneck blocks with conv shortcuts, dilated
+    stages 4/5 (stage-5 'a' keeps the stage-4 rate)."""
+    import keras
+
+    L = keras.layers
+
+    def bottleneck(x, filters, stage, block, strides=1, rate=1,
+                   conv_shortcut=False):
+        f1, f2, f3 = filters
+        cb = f"res{stage}{block}_branch"
+        bb = f"bn{stage}{block}_branch"
+        inputs = x
+        x = L.Conv2D(f1, 1, strides=strides, dilation_rate=rate,
+                     use_bias=True, name=cb + "2a")(x)
+        x = L.BatchNormalization(name=bb + "2a")(x)
+        x = L.ReLU()(x)
+        x = L.Conv2D(f2, 3, padding="same", dilation_rate=rate,
+                     use_bias=True, name=cb + "2b")(x)
+        x = L.BatchNormalization(name=bb + "2b")(x)
+        x = L.ReLU()(x)
+        x = L.Conv2D(f3, 1, dilation_rate=rate, use_bias=True,
+                     name=cb + "2c")(x)
+        x = L.BatchNormalization(name=bb + "2c")(x)
+        if conv_shortcut:
+            sc = L.Conv2D(f3, 1, strides=strides, dilation_rate=rate,
+                          use_bias=True, name=cb + "1")(inputs)
+            sc = L.BatchNormalization(name=bb + "1")(sc)
+        else:
+            sc = inputs
+        return L.ReLU()(L.Add()([x, sc]))
+
+    def sep_conv_bn(x, filters, prefix, rate=1, eps=1e-5):
+        x = L.DepthwiseConv2D(3, dilation_rate=rate, padding="same",
+                              use_bias=False, name=prefix + "_depthwise")(x)
+        x = L.BatchNormalization(epsilon=eps, name=prefix + "_depthwise_BN")(x)
+        x = L.ReLU()(x)
+        x = L.Conv2D(filters, 1, use_bias=False,
+                     name=prefix + "_pointwise")(x)
+        x = L.BatchNormalization(epsilon=eps, name=prefix + "_pointwise_BN")(x)
+        return L.ReLU()(x)
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.ZeroPadding2D(3)(inp)
+    x = L.Conv2D(64, 7, strides=2, padding="valid", use_bias=True,
+                 name="conv1")(x)
+    x = L.BatchNormalization(name="bn_conv1")(x)
+    x = L.ReLU()(x)
+    x = L.ZeroPadding2D(1)(x)
+    x = L.MaxPooling2D(3, strides=2, padding="valid")(x)
+
+    def blocks(x, filters, stage, names, strides=1, rate=1):
+        for i, b in enumerate(names):
+            x = bottleneck(x, filters, stage, b,
+                           strides=strides if i == 0 else 1, rate=rate,
+                           conv_shortcut=(i == 0))
+        return x
+
+    x = blocks(x, [64, 64, 256], 2, "abc", strides=1)
+    skip = x
+    x = blocks(x, [128, 128, 512], 3, "abcd", strides=2)
+    x = blocks(x, [256, 256, 1024], 4, "abcdef", strides=2, rate=1)
+    x = bottleneck(x, [512, 512, 2048], 5, "a", strides=1, rate=1,
+                   conv_shortcut=True)
+    for b in "bc":
+        x = bottleneck(x, [512, 512, 2048], 5, b, rate=2)
+
+    # full ASPP at OS16 + decoder (same structure as the Xception twin)
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    b4 = L.AveragePooling2D(pool_size=(fh, fw))(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = L.BatchNormalization(epsilon=1e-5, name="image_pooling_BN")(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = L.BatchNormalization(epsilon=1e-5, name="aspp0_BN")(b0)
+    b0 = L.ReLU()(b0)
+    b1 = sep_conv_bn(x, 256, "aspp1", rate=6)
+    b2 = sep_conv_bn(x, 256, "aspp2", rate=12)
+    b3 = sep_conv_bn(x, 256, "aspp3", rate=18)
+    x = L.Concatenate()([b4, b0, b1, b2, b3])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = L.BatchNormalization(epsilon=1e-5, name="concat_projection_BN")(x)
+    x = L.ReLU()(x)
+
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    skip = L.Conv2D(48, 1, use_bias=False, name="feature_projection0")(skip)
+    skip = L.BatchNormalization(epsilon=1e-5, name="feature_projection0_BN")(skip)
+    skip = L.ReLU()(skip)
+    x = L.Concatenate()([x, skip])
+    x = sep_conv_bn(x, 256, "decoder_conv0")
+    x = sep_conv_bn(x, 256, "decoder_conv1")
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    return keras.Model(inp, x)

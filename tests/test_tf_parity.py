@@ -648,3 +648,82 @@ def test_mobilevit_unfolding_equals_global_attention(tmp_path, legacy_h5):
     variables = load_keras_h5_weights(path, variables, strict=True)
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "family,builder_name",
+    [("peleenet_lite", "build_peleenet_lite_keras"),
+     ("ghostnet_lite", "build_ghostnet_lite_keras")],
+)
+def test_full_model_parity_lite_families(family, builder_name, tmp_path,
+                                         legacy_h5):
+    """Sixth/seventh full-model oracles: PeleeNet-Lite (two-branch dense
+    + stem concat ORDERS, OS-by-pooling) and GhostNet-Lite (ghost-module
+    primary/cheap concat order, SE hard-sigmoid, dw/1x1 shortcuts, s=-1
+    'keep' blocks, dilated stage 5) against real Keras execution."""
+    import h5py
+
+    import keras_twin
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 5
+    kmodel = getattr(keras_twin, builder_name)(ncls, (hw, hw))
+    keras_twin.randomize_keras_weights(kmodel, seed=101)
+    path = str(tmp_path / f"{family}.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(13)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model(family, ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_resnet50(tmp_path, legacy_h5):
+    """Eighth full-model oracle: ResNet50 DeepLabV3+ (explicit-pad 7x7
+    stem, VALID maxpool, biased bottlenecks with conv shortcuts, dilated
+    stages 4/5) with the full ASPP+decoder head vs real Keras."""
+    import h5py
+
+    from keras_twin import build_resnet50_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 64, 5
+    kmodel = build_resnet50_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=111)
+    path = str(tmp_path / "resnet50.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(16)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("resnet50", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
