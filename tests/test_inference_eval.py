@@ -228,3 +228,35 @@ def test_segment_video(tmp_path):
         n += 1
     vid.release()
     assert n == 3
+
+
+def test_onboard_png_convert_roundtrip(tmp_path):
+    """Gray index labels -> VOC palette PNGs (reference
+    onboard_png_convert.py:14-52): pixel indices survive the palette
+    encoding and the palette is the VOC bit-shift colormap."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.evaluation.onboard_png_convert import label_convert
+    from deeplabv3p_tpu.utils.visualize import create_pascal_label_colormap
+
+    src = tmp_path / "gray"
+    dst = tmp_path / "voc"
+    os.makedirs(src)
+    rng = np.random.RandomState(3)
+    labels = {}
+    for i in range(3):
+        arr = rng.randint(0, 5, size=(20, 24), dtype=np.uint8)
+        Image.fromarray(arr).save(src / f"m{i}.png")
+        labels[f"m{i}"] = arr
+
+    n = label_convert(str(src), str(dst), class_names=[f"c{k}" for k in range(5)])
+    assert n == 3
+    for name, arr in labels.items():
+        img = Image.open(dst / f"{name}.png")
+        assert img.mode == "P"
+        np.testing.assert_array_equal(np.array(img), arr)
+        palette = np.array(img.getpalette()).reshape(-1, 3)
+        np.testing.assert_array_equal(
+            palette[:5], create_pascal_label_colormap()[:5]
+        )
