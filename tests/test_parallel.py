@@ -228,3 +228,50 @@ def test_deeplab_api_spatial_mesh(tmp_path):
     mask = d.predict(preprocess_image(img, (64, 64)), (80, 70))
     assert mask.shape == (80, 70)
     assert set(np.unique(mask)).issubset(set(range(4)))
+
+
+def test_train_cli_spatial_partition(tmp_path):
+    """train.py --spatial_partition runs a 2-D mesh training step
+    end-to-end through the CLI."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "images")
+    os.makedirs(root / "labels")
+    rng = np.random.RandomState(0)
+    ids = []
+    for i in range(8):
+        Image.fromarray(
+            rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        ).save(root / "images" / f"s{i}.jpg")
+        Image.fromarray(
+            rng.randint(0, 4, (64, 64), dtype=np.uint8)
+        ).save(root / "labels" / f"s{i}.png")
+        ids.append(f"s{i}")
+    (root / "train.txt").write_text("\n".join(ids))
+    (root / "val.txt").write_text("\n".join(ids[:2]))
+    classes = tmp_path / "classes.txt"
+    classes.write_text("background\na\nb\nc")
+
+    r = subprocess.run(
+        [sys.executable, "train.py",
+         "--model_type", "mobilenetv2_lite",
+         "--dataset_path", str(root),
+         "--dataset_file", str(root / "train.txt"),
+         "--val_dataset_file", str(root / "val.txt"),
+         "--classes_path", str(classes),
+         "--model_input_shape", "64",
+         "--batch_size", "4",
+         "--transfer_epoch", "0", "--total_epoch", "1",
+         "--num_devices", "8", "--spatial_partition", "2",
+         "--device", "cpu",
+         "--log_dir", str(tmp_path / "logs")],
+        capture_output=True, text=True, timeout=1200, cwd=".",
+        env={**os.environ,
+             "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
+             + " --xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])

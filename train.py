@@ -42,6 +42,13 @@ def parse_input_shape(spec):
 
 
 def main(args):
+    if args.device == "cpu":
+        # must happen before any backend use; the environment pins
+        # jax_platforms programmatically, so plain JAX_PLATFORMS env is
+        # ignored (CLAUDE.md rule 3)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
     assert num_classes < 254, "PNG label only supports < 254 classes"
@@ -93,7 +100,18 @@ def main(args):
         remat=args.remat,
         dtype=jnp.bfloat16 if args.mixed_precision else None,
     )
-    mesh = make_mesh(args.num_devices if args.num_devices > 0 else None)
+    if args.spatial_partition > 1:
+        n = args.num_devices if args.num_devices > 0 else None
+        import jax as _jax
+
+        total = n if n is not None else len(_jax.devices())
+        mesh = make_mesh(
+            n, axis_names=("data", "spatial"),
+            mesh_shape=(total // args.spatial_partition,
+                        args.spatial_partition),
+        )
+    else:
+        mesh = make_mesh(args.num_devices if args.num_devices > 0 else None)
     trainer = Trainer(
         model, num_classes, loss_fn,
         use_sample_weights=(args.weighted_type == "adaptive"),
@@ -202,10 +220,16 @@ def parse_args():
     p.add_argument("--eval_epoch_interval", type=int, default=10)
     p.add_argument("--num_devices", type=int, default=0,
                    help="devices in the data mesh (0 = all)")
+    p.add_argument("--spatial_partition", type=int, default=1,
+                   help="shard image height over this many devices per "
+                        "data-parallel group (2-D data x spatial mesh; "
+                        "image H must divide by it)")
     p.add_argument("--mixed_precision", action="store_true", default=True)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (OS8 memory)")
     p.add_argument("--log_dir", default="logs/000")
+    p.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                   help="force the CPU backend (e.g. virtual-mesh tests)")
     return p.parse_args()
 
 
