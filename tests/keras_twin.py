@@ -769,3 +769,95 @@ def build_resnet50_keras(num_classes: int, input_hw: tuple[int, int]):
     x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
     x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
     return keras.Model(inp, x)
+
+
+def build_mobilevit_xxs_lite_keras(num_classes: int,
+                                   input_hw: tuple[int, int]):
+    """MobileViT-XXS-Lite twin at OS16 (deeplabv3p_tpu/models/mobilevit.py;
+    reference deeplabv3p_mobilevit.py:282-547): swish conv blocks, MV2
+    blocks (BN momentum 0.1), three MobileViT blocks using the
+    REFERENCE's unfold — Reshape (P,N,C) + MultiHeadAttention with
+    default attention_axes — plus the ASPP-Lite head. Pins the complete
+    attention-model h5 interchange."""
+    import keras
+
+    L = keras.layers
+    silu = lambda: L.Activation("silu")
+
+    def bn(name):
+        return L.BatchNormalization(momentum=0.1, name=name)
+
+    def conv_block(x, filters, name, k=3, strides=1, rate=1):
+        rate = 1 if k == 1 else rate
+        x = L.Conv2D(filters, k, strides=strides, dilation_rate=rate,
+                     padding="same", use_bias=False, name=name)(x)
+        x = bn(name + "_BN")(x)
+        return silu()(x)
+
+    def mv2_block(x, expanded, out_ch, strides, bid, rate=1):
+        prefix = f"mv2_block_{bid}_"
+        inputs = x
+        x = L.Conv2D(expanded, 1, use_bias=False,
+                     name=prefix + "_expand")(x)
+        x = bn(prefix + "expand_BN")(x)
+        x = silu()(x)
+        x = L.DepthwiseConv2D(3, strides=strides, dilation_rate=rate,
+                              padding="same", use_bias=False,
+                              name=prefix + "depthwise")(x)
+        x = bn(prefix + "depthwise_BN")(x)
+        x = silu()(x)
+        x = L.Conv2D(out_ch, 1, use_bias=False, name=prefix + "project")(x)
+        x = bn(prefix + "project_BN")(x)
+        if inputs.shape[-1] == out_ch and strides == 1:
+            x = L.Add()([x, inputs])
+        return x
+
+    def transformer(t, c, name):
+        x1 = L.LayerNormalization(epsilon=1e-6, name=name + "_LN1")(t)
+        att = L.MultiHeadAttention(num_heads=1, key_dim=c,
+                                   name=name + "_attention")(x1, x1)
+        x2 = L.Add()([att, t])
+        x3 = L.LayerNormalization(epsilon=1e-6, name=name + "_LN2")(x2)
+        x3 = L.Dense(2 * c, name=name + "_ff_0_dense")(x3)
+        x3 = silu()(x3)
+        x3 = L.Dense(c, name=name + "_ff_1_dense")(x3)
+        return L.Add()([x3, x2])
+
+    def mvit_block(x, num_blocks, dim, bid, rate=1):
+        prefix = f"mvit_block_{bid}_"
+        in_ch = x.shape[-1]
+        local = conv_block(x, dim, prefix + "conv1", k=3, rate=rate)
+        local = conv_block(local, dim, prefix + "conv2", k=1)
+        h, w = local.shape[1], local.shape[2]
+        # the reference unfold: plain Reshape to (P, N, C), 2x2 patches
+        t = L.Reshape((4, (h * w) // 4, dim))(local)
+        for i in range(num_blocks):
+            t = transformer(t, dim, prefix + f"transformer_{i}")
+        folded = L.Reshape((h, w, dim))(t)
+        folded = conv_block(folded, in_ch, prefix + "conv3", k=1)
+        fused = L.Concatenate()([x, folded])
+        return conv_block(fused, in_ch, prefix + "conv4", k=3, rate=rate)
+
+    # xxs config: channels [16,16,24,24,48,64,80,320], dims [64,80,96],
+    # expansion 2; OS16: os16_stride=2, os16_rate=1, os32_rate=2
+    ch = [16, 16, 24, 24, 48, 64, 80, 320]
+    dims = [64, 80, 96]
+    exp = 2
+
+    inp = keras.Input((*input_hw, 3))
+    x = conv_block(inp, ch[0], "stem_conv", k=3, strides=2)
+    x = mv2_block(x, ch[0] * exp, ch[1], 1, 0)
+    x = mv2_block(x, ch[1] * exp, ch[2], 2, 1)
+    x = mv2_block(x, ch[2] * exp, ch[3], 1, 2)
+    x = mv2_block(x, ch[2] * exp, ch[3], 1, 3)
+    x = mv2_block(x, ch[3] * exp, ch[4], 2, 4)
+    x = mvit_block(x, 2, dims[0], 0)
+    x = mv2_block(x, ch[5] * exp, ch[5], 2, 5)
+    x = mvit_block(x, 4, dims[1], 1)
+    x = mv2_block(x, ch[6] * exp, ch[6], 1, 6)
+    x = mvit_block(x, 3, dims[2], 2, rate=2)
+    x = conv_block(x, ch[7], "1x1_conv", k=1)
+
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    x = _aspp_lite_head(L, x, num_classes, (fh, fw))
+    return keras.Model(inp, x)

@@ -727,3 +727,42 @@ def test_full_model_parity_resnet50(tmp_path, legacy_h5):
     assert got.shape == want.shape == (1, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_mobilevit_xxs_lite(tmp_path, legacy_h5):
+    """Ninth full-model oracle: MobileViT-XXS-Lite — the complete
+    attention model end-to-end, with the KERAS side using the reference's
+    unfold (Reshape (P,N,C) + MHA default attention_axes) and the flax
+    side its global-flatten equivalent; pins transformer weight paths
+    inside the full tree, MV2 swish blocks (BN momentum 0.1), and the
+    1x1 feature conv."""
+    import h5py
+
+    from keras_twin import build_mobilevit_xxs_lite_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 5
+    kmodel = build_mobilevit_xxs_lite_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=121)
+    path = str(tmp_path / "mvit.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(18)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("mobilevit_xxs_lite", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
