@@ -105,6 +105,11 @@ def main(args):
         import jax as _jax
 
         total = n if n is not None else len(_jax.devices())
+        if total % args.spatial_partition:
+            raise SystemExit(
+                f"--spatial_partition {args.spatial_partition} must divide "
+                f"the device count ({total})"
+            )
         mesh = make_mesh(
             n, axis_names=("data", "spatial"),
             mesh_shape=(total // args.spatial_partition,
