@@ -861,3 +861,127 @@ def build_mobilevit_xxs_lite_keras(num_classes: int,
     fh, fw = input_hw[0] // 16, input_hw[1] // 16
     x = _aspp_lite_head(L, x, num_classes, (fh, fw))
     return keras.Model(inp, x)
+
+
+def build_mobilenetv3_large_keras(num_classes: int,
+                                  input_hw: tuple[int, int],
+                                  alpha: float = 1.0):
+    """MobileNetV3-Large DeepLabV3+ twin at OS16 with the FULL
+    ASPP+decoder head (deeplabv3p_tpu/models/mobilenetv3.py large stack;
+    reference deeplabv3p_mobilenetv3.py:556-600) — pins the Large
+    schedule's per-block relu/hard-swish choice and SE placement, which
+    parameter-count parity cannot detect. Uses the '--' name encoding
+    (rename_h5_scoped_layers before import)."""
+    import keras
+
+    L = keras.layers
+
+    def hard_swish(t):
+        return t * keras.ops.clip(t + 3.0, 0.0, 6.0) / 6.0
+
+    def hard_sigmoid(t):
+        return keras.ops.clip(t + 3.0, 0.0, 6.0) / 6.0
+
+    def depth(d):
+        return _make_divisible(d * alpha, 8)
+
+    def bn(name):
+        return L.BatchNormalization(epsilon=1e-3, momentum=0.999, name=name)
+
+    inp = keras.Input((*input_hw, 3))
+    x = L.Conv2D(16, 3, strides=2, padding="same", use_bias=False,
+                 name="Conv")(inp)
+    x = bn("Conv--BatchNorm")(x)
+    x = L.Lambda(hard_swish)(x)
+
+    def block(x, expansion, filters, k, stride, se, act, bid, skip, rate=1):
+        infilters = x.shape[-1]
+        prefix = f"expanded_conv_{bid}--" if bid else "expanded_conv--"
+        shortcut = x
+        if bid:
+            x = L.Conv2D(_make_divisible(infilters * expansion, 8), 1,
+                         use_bias=False, name=prefix + "expand")(x)
+            x = bn(prefix + "expand--BatchNorm")(x)
+            x = L.Lambda(hard_swish)(x) if act == "hs" else L.ReLU()(x)
+        x = L.DepthwiseConv2D(k, strides=stride, dilation_rate=rate,
+                              padding="same", use_bias=False,
+                              name=prefix + "depthwise--Conv")(x)
+        x = bn(prefix + "depthwise--BatchNorm")(x)
+        x = L.Lambda(hard_swish)(x) if act == "hs" else L.ReLU()(x)
+        if se:
+            se_ch = _make_divisible(infilters * expansion, 8)
+            s = L.GlobalAveragePooling2D(keepdims=True)(x)
+            s = L.Conv2D(_make_divisible(int(se_ch * 0.25), 8), 1,
+                         use_bias=True,
+                         name=prefix + "squeeze_excite--Conv")(s)
+            s = L.ReLU()(s)
+            s = L.Conv2D(se_ch, 1, use_bias=True,
+                         name=prefix + "squeeze_excite--Conv_1")(s)
+            s = L.Lambda(hard_sigmoid)(s)
+            x = L.Multiply()([x, s])
+        x = L.Conv2D(filters, 1, use_bias=False, name=prefix + "project")(x)
+        x = bn(prefix + "project--BatchNorm")(x)
+        if skip:
+            x = L.Add()([x, shortcut])
+        return x
+
+    # large stack at OS16 (mobilenetv3.py:180-206; os16_stride=2,
+    # os16_rate=1, os32_stride=1, os32_rate=2); relu blocks 0-5, SE on
+    # 3-5 and 10-14, hard-swish from block 6
+    se = True
+    x = block(x, 1, depth(16), 3, 1, None, "re", 0, True)
+    x = block(x, 4, depth(24), 3, 2, None, "re", 1, False)
+    x = block(x, 3, depth(24), 3, 1, None, "re", 2, True)
+    skip = x  # OS4
+    x = block(x, 3, depth(40), 5, 2, se, "re", 3, False)
+    x = block(x, 3, depth(40), 5, 1, se, "re", 4, True)
+    x = block(x, 3, depth(40), 5, 1, se, "re", 5, True)
+    x = block(x, 6, depth(80), 3, 2, None, "hs", 6, False)
+    x = block(x, 2.5, depth(80), 3, 1, None, "hs", 7, True)
+    x = block(x, 2.3, depth(80), 3, 1, None, "hs", 8, True)
+    x = block(x, 2.3, depth(80), 3, 1, None, "hs", 9, True)
+    x = block(x, 6, depth(112), 3, 1, se, "hs", 10, False)
+    x = block(x, 6, depth(112), 3, 1, se, "hs", 11, True)
+    x = block(x, 6, depth(160), 5, 1, se, "hs", 12, False)
+    x = block(x, 6, depth(160), 5, 1, se, "hs", 13, True, rate=2)
+    x = block(x, 6, depth(160), 5, 1, se, "hs", 14, True, rate=2)
+
+    # full ASPP at OS16 + decoder (same structure as the ResNet50 twin)
+    def sep_conv_bn(x, filters, prefix, rate=1, eps=1e-5):
+        x = L.DepthwiseConv2D(3, dilation_rate=rate, padding="same",
+                              use_bias=False, name=prefix + "_depthwise")(x)
+        x = L.BatchNormalization(epsilon=eps, name=prefix + "_depthwise_BN")(x)
+        x = L.ReLU()(x)
+        x = L.Conv2D(filters, 1, use_bias=False,
+                     name=prefix + "_pointwise")(x)
+        x = L.BatchNormalization(epsilon=eps, name=prefix + "_pointwise_BN")(x)
+        return L.ReLU()(x)
+
+    fh, fw = input_hw[0] // 16, input_hw[1] // 16
+    b4 = L.AveragePooling2D(pool_size=(fh, fw))(x)
+    b4 = L.Conv2D(256, 1, use_bias=False, name="image_pooling")(b4)
+    b4 = L.BatchNormalization(epsilon=1e-5, name="image_pooling_BN")(b4)
+    b4 = L.ReLU()(b4)
+    b4 = L.UpSampling2D(size=(fh, fw), interpolation="nearest")(b4)
+    b0 = L.Conv2D(256, 1, use_bias=False, name="aspp0")(x)
+    b0 = L.BatchNormalization(epsilon=1e-5, name="aspp0_BN")(b0)
+    b0 = L.ReLU()(b0)
+    b1 = sep_conv_bn(x, 256, "aspp1", rate=6)
+    b2 = sep_conv_bn(x, 256, "aspp2", rate=12)
+    b3 = sep_conv_bn(x, 256, "aspp3", rate=18)
+    x = L.Concatenate()([b4, b0, b1, b2, b3])
+    x = L.Conv2D(256, 1, use_bias=False, name="concat_projection")(x)
+    x = L.BatchNormalization(epsilon=1e-5, name="concat_projection_BN")(x)
+    x = L.ReLU()(x)
+
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    skip = L.Conv2D(48, 1, use_bias=False, name="feature_projection0")(skip)
+    skip = L.BatchNormalization(epsilon=1e-5,
+                                name="feature_projection0_BN")(skip)
+    skip = L.ReLU()(skip)
+    x = L.Concatenate()([x, skip])
+    x = sep_conv_bn(x, 256, "decoder_conv0")
+    x = sep_conv_bn(x, 256, "decoder_conv1")
+    x = L.Conv2D(num_classes, 1, use_bias=True, name="conv_upsample")(x)
+    x = L.UpSampling2D(size=4, interpolation="bilinear")(x)
+    return keras.Model(inp, x)

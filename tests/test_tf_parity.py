@@ -766,3 +766,45 @@ def test_full_model_parity_mobilevit_xxs_lite(tmp_path, legacy_h5):
     assert got.shape == want.shape == (1, hw, hw, ncls)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_mobilenetv3_large(tmp_path, legacy_h5):
+    """Tenth full-model oracle: MobileNetV3-LARGE with the full
+    ASPP+decoder head — pins the Large stack's per-block relu/hard-swish
+    schedule and SE placement (invisible to parameter-count parity)
+    against real Keras execution."""
+    import h5py
+
+    from keras_twin import (
+        build_mobilenetv3_large_keras,
+        randomize_keras_weights,
+        rename_h5_scoped_layers,
+    )
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 128, 5
+    kmodel = build_mobilenetv3_large_keras(ncls, (hw, hw))
+    randomize_keras_weights(kmodel, seed=131)
+    path = str(tmp_path / "mnv3l.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+    rename_h5_scoped_layers(path)
+
+    rng = np.random.RandomState(20)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model("mobilenetv3large", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
