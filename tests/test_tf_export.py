@@ -175,3 +175,27 @@ def test_eval_cli_tflite(small_model, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "mIoU" in out.stdout
+
+
+def test_export_model_cli_tflite(small_model, tmp_path):
+    """tools/model_converter/export_model.py --format tflite end-to-end:
+    h5 in (written by save_keras_h5_weights), .tflite artifact out,
+    runnable by the TFLite interpreter."""
+    from deeplabv3p_tpu.utils.keras_import import save_keras_h5_weights
+
+    model, variables, fn, x = small_model
+    h5 = str(tmp_path / "m.h5")
+    save_keras_h5_weights(h5, variables)
+    out = str(tmp_path / "m.tflite")
+    r = subprocess.run(
+        [sys.executable, "tools/model_converter/export_model.py",
+         "--model_path", h5, "--model_type", "mobilenetv2_lite",
+         "--num_classes", str(NCLS), "--model_input_shape", str(HW),
+         "--format", "tflite", "--output", out],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = TFLiteRunner(out)(x)
+    want = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3)
