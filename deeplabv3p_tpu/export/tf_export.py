@@ -20,7 +20,7 @@ and these entry points raise a clear gate error when TF is absent.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import numpy as np
 
