@@ -59,6 +59,7 @@ def test_deeplab_logits_shape(model_type):
 @pytest.mark.parametrize(
     "model_type", ["mobilenetv2", "xception", "ghostnet_lite", "mobilevit_xxs"]
 )
+@pytest.mark.slow
 def test_deeplab_numeric_representatives(model_type):
     """Real execution for one representative of each structural family
     (OS32 keeps the CPU compiles small)."""
@@ -105,6 +106,7 @@ def test_backbone_body_os(name, output_stride):
     assert skip.shape[3] == skip_ch
 
 
+@pytest.mark.slow
 def test_deeplab_train_mode_updates_batch_stats():
     model = build_deeplab_model("mobilenetv2_lite", 5, output_stride=16)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, INPUT, INPUT, 3))
@@ -196,6 +198,7 @@ def _make_stub_body():
     return StubBody
 
 
+@pytest.mark.slow
 def test_remat_matches_plain_gradients():
     """Backbone rematerialization must not change math — grads identical
     (SURVEY.md §7 OS8 memory hard part)."""

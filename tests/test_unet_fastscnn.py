@@ -67,6 +67,7 @@ def test_unknown_model_raises():
         build_fast_scnn_model("nope", 3)
 
 
+@pytest.mark.slow
 def test_trainer_works_across_families(tmp_path):
     """One Trainer step for UNet and Fast-SCNN — the training engine is
     model-family agnostic (all models emit logits at input resolution)."""
