@@ -283,6 +283,12 @@ def _rsqrt(cv, eqn, vals):
     return _Sym(cv.b.add_node("Reciprocal", [s])[0])
 
 
+@_register("square")
+def _square(cv, eqn, vals):
+    x = cv.as_name(vals[0])
+    return _Sym(cv.b.add_node("Mul", [x, x])[0])
+
+
 @_register("integer_pow")
 def _integer_pow(cv, eqn, vals):
     y = eqn.params["y"]
@@ -308,13 +314,23 @@ def _convert(cv, eqn, vals):
 
 @_register("select_n")
 def _select_n(cv, eqn, vals):
-    if len(vals) != 3:
-        raise NotImplementedError("select_n with >2 cases")
-    pred, on_false, on_true = vals
-    return _Sym(cv.b.add_node(
-        "Where",
-        [cv.as_name(pred), cv.as_name(on_true), cv.as_name(on_false)],
-    )[0])
+    if len(vals) == 3 and eqn.invars[0].aval.dtype == np.bool_:
+        pred, on_false, on_true = vals
+        return _Sym(cv.b.add_node(
+            "Where",
+            [cv.as_name(pred), cv.as_name(on_true), cv.as_name(on_false)],
+        )[0])
+    # integer selector with n cases: a chain of Equal + Where
+    # (out = where(which==0, c0, where(which==1, c1, ... c_{n-1})))
+    pred, cases = vals[0], vals[1:]
+    pred_name = cv.as_name(pred)
+    pred_dtype = np.dtype(eqn.invars[0].aval.dtype)
+    out = cv.as_name(cases[-1])
+    for i in range(len(cases) - 2, -1, -1):
+        idx = cv.b.constant(np.asarray(i, pred_dtype), "idx")
+        eq = cv.b.add_node("Equal", [pred_name, idx])[0]
+        out = cv.b.add_node("Where", [eq, cv.as_name(cases[i]), out])[0]
+    return _Sym(out)
 
 
 @_register("broadcast_in_dim")
@@ -386,14 +402,61 @@ def _slice(cv, eqn, vals):
 @_register("pad")
 def _pad(cv, eqn, vals):
     cfg = eqn.params["padding_config"]
-    if any(interior != 0 for _, _, interior in cfg):
-        raise NotImplementedError("pad with interior dilation")
-    if any(lo < 0 or hi < 0 for lo, hi, _ in cfg):
-        raise NotImplementedError("negative padding")
-    pads = [lo for lo, _, _ in cfg] + [hi for _, hi, _ in cfg]
     x, pad_val = vals
+    name = cv.as_name(x)
+    shape = list(eqn.invars[0].aval.shape)
+    dtype = np.dtype(eqn.invars[0].aval.dtype)
+
+    # interior (dilation) padding: ONNX Pad has no interior mode; emulate
+    # per dim by concatenating `interior` zero-planes along an unsqueezed
+    # axis, flattening, and slicing off the trailing run:
+    #   (.., n, ..) -> (.., n, 1+k, ..) -> (.., n*(1+k), ..) -> drop last k
+    for d, (_, _, interior) in enumerate(cfg):
+        if interior == 0:
+            continue
+        n = shape[d]
+        pre, post = shape[:d], shape[d + 1:]
+        shp1 = cv.b.constant(
+            np.asarray(pre + [n, 1] + post, np.int64), "shape"
+        )
+        name = cv.b.add_node("Reshape", [name, shp1])[0]
+        fill = np.broadcast_to(
+            np.asarray(pad_val, dtype),  # pad value is concrete (as below)
+            tuple(pre + [n, interior] + post),
+        )
+        zeros = cv.b.constant(np.ascontiguousarray(fill), "interior_fill")
+        name = cv.b.add_node("Concat", [name, zeros], axis=d + 1)[0]
+        shp2 = cv.b.constant(
+            np.asarray(pre + [n * (1 + interior)] + post, np.int64), "shape"
+        )
+        name = cv.b.add_node("Reshape", [name, shp2])[0]
+        args = [name] + [
+            cv.b.constant(np.asarray(v, np.int64), h)
+            for v, h in (([0], "starts"),
+                         ([n * (1 + interior) - interior], "ends"),
+                         ([d], "axes"), ([1], "steps"))
+        ]
+        name = cv.b.add_node("Slice", args)[0]
+        shape = pre + [n + (n - 1) * interior] + post
+
+    # negative edge padding is a crop (XLA pad semantics): Slice first,
+    # then Pad with the positive remainder
+    if any(lo < 0 or hi < 0 for lo, hi, _ in cfg):
+        starts = [max(0, -lo) for lo, _, _ in cfg]
+        ends = [shape[d] + min(0, hi) for d, (_, hi, _) in enumerate(cfg)]
+        axes = list(range(len(shape)))
+        args = [name] + [
+            cv.b.constant(np.asarray(v, np.int64), h)
+            for v, h in ((starts, "starts"), (ends, "ends"),
+                         (axes, "axes"), ([1] * len(axes), "steps"))
+        ]
+        name = cv.b.add_node("Slice", args)[0]
+
+    pads = [max(0, lo) for lo, _, _ in cfg] + [max(0, hi) for _, hi, _ in cfg]
+    if all(p == 0 for p in pads):
+        return _Sym(name)
     args = [
-        cv.as_name(x),
+        name,
         cv.b.constant(np.asarray(pads, np.int64), "pads"),
         cv.as_name(np.asarray(pad_val)),
     ]
@@ -471,7 +534,7 @@ def _conv(cv, eqn, vals):
     dn = p["dimension_numbers"]
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
     if any(d != 1 for d in p["lhs_dilation"]):
-        raise NotImplementedError("transposed convolution (lhs_dilation)")
+        return _conv_transpose(cv, eqn, vals)
     nspatial = len(p["window_strides"])
 
     x_name = cv.as_name(vals[0], "x")
@@ -500,6 +563,76 @@ def _conv(cv, eqn, vals):
     )[0]
 
     # transpose back to the jaxpr's output layout
+    out_perm = _spec_perm(out_spec, 2 + nspatial)
+    inv = [0] * len(out_perm)
+    for i, j in enumerate(out_perm):
+        inv[j] = i
+    if inv != list(range(2 + nspatial)):
+        conv = cv.b.add_node("Transpose", [conv], perm=inv)[0]
+    return _Sym(conv)
+
+
+def _conv_transpose(cv, eqn, vals):
+    """lhs-dilated conv → ONNX ConvTranspose (reference parity:
+    keras_to_onnx.py exports Conv2DTranspose models, UNet-Standard).
+
+    XLA semantics: out[o] = Σ_k in[(o - lo + k·dᵣ)/s]·W[k] (correlation of
+    the s-dilated input). ONNX ConvTranspose scatters in[i]·W into
+    o = i·s - pads + k·dᵣ, i.e. the same sum with the kernel spatially
+    FLIPPED and pads = Kₑ-1-lo (Kₑ = (K-1)·dᵣ+1). Padding beyond Kₑ-1 on
+    the high side becomes output_padding; on the low side it has no ONNX
+    encoding (unused by any registry model) → loud error.
+    """
+    p = eqn.params
+    dn = p["dimension_numbers"]
+    lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
+    nspatial = len(p["window_strides"])
+    if any(s != 1 for s in p["window_strides"]):
+        raise NotImplementedError(
+            "conv with both lhs_dilation and window_strides"
+        )
+    if int(p["feature_group_count"]) != 1:
+        raise NotImplementedError("grouped transposed convolution")
+    if isinstance(vals[1], _Sym):
+        raise NotImplementedError("non-constant transposed-conv kernel")
+
+    # kernel: jaxpr layout → (O, I, spatial) → flip spatial → (I, O, spatial)
+    kperm = [rhs_spec[0], rhs_spec[1]] + list(rhs_spec[2:])
+    w = np.transpose(_np_of(vals[1]), kperm)
+    w = w[(slice(None), slice(None)) + (slice(None, None, -1),) * nspatial]
+    w = np.swapaxes(w, 0, 1)  # ONNX ConvTranspose wants (I, O/g, kH, kW)
+    w_name = cv.b.constant(np.ascontiguousarray(w), "weight")
+
+    rhs_dil = list(p["rhs_dilation"])
+    kdims = [eqn.invars[1].aval.shape[rhs_spec[2 + i]] for i in range(nspatial)]
+    keff = [(k - 1) * d + 1 for k, d in zip(kdims, rhs_dil)]
+    pads_begin, pads_end, out_pad = [], [], []
+    for (lo, hi), ke in zip(p["padding"], keff):
+        pb, pe = ke - 1 - lo, ke - 1 - hi
+        op = 0
+        if pe < 0:
+            op, pe = -pe, 0
+        if pb < 0:
+            raise NotImplementedError(
+                f"transposed conv low padding {lo} exceeds kernel extent {ke}"
+            )
+        pads_begin.append(pb)
+        pads_end.append(pe)
+        out_pad.append(op)
+
+    x_name = cv.as_name(vals[0], "x")
+    perm_in = _spec_perm(lhs_spec, 2 + nspatial)
+    if perm_in != list(range(2 + nspatial)):
+        x_name = cv.b.add_node("Transpose", [x_name], perm=perm_in)[0]
+    attrs = dict(
+        strides=list(p["lhs_dilation"]),
+        dilations=rhs_dil,
+        pads=pads_begin + pads_end,
+        group=1,
+    )
+    if any(out_pad):
+        attrs["output_padding"] = out_pad
+    conv = cv.b.add_node("ConvTranspose", [x_name, w_name], **attrs)[0]
     out_perm = _spec_perm(out_spec, 2 + nspatial)
     inv = [0] * len(out_perm)
     for i, j in enumerate(out_perm):

@@ -74,6 +74,35 @@ def _conv2d(x, w, strides, pads, dilations, group):
     return np.asarray(out)
 
 
+def _conv_transpose2d(x, w, strides, pads, dilations, group, output_padding):
+    """ONNX ConvTranspose (opset 13): W is (Cin, Cout/g, kH, kW); output
+    o = i*s - pads + k*d scatter. Implemented as the equivalent
+    lhs-dilated correlation (swap I/O, flip spatial, pad Ke-1-p)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    if group != 1:
+        raise NotImplementedError("interp: grouped ConvTranspose")
+    w = np.swapaxes(w, 0, 1)[:, :, ::-1, ::-1]  # (Cout, Cin, kH, kW)
+    keff = [
+        (w.shape[2 + i] - 1) * dilations[i] + 1 for i in range(2)
+    ]
+    pad_pairs = [
+        (keff[i] - 1 - pads[i],
+         keff[i] - 1 - pads[2 + i] + output_padding[i])
+        for i in range(2)
+    ]
+    out = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(np.ascontiguousarray(w)),
+        window_strides=(1, 1),
+        padding=pad_pairs,
+        lhs_dilation=strides,
+        rhs_dilation=dilations,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return np.asarray(out)
+
+
 def _pool2d(x, kind, kernel, strides, pads, count_include_pad=False):
     import jax.lax as lax
     import jax.numpy as jnp
@@ -216,6 +245,14 @@ def run_model(model: op.ModelProto, inputs: dict[str, np.ndarray]) -> dict:
             out = _conv2d(
                 ins[0], ins[1], a["strides"], a["pads"], a["dilations"],
                 a.get("group", 1),
+            )
+            if len(ins) > 2:
+                out = out + ins[2].reshape(1, -1, 1, 1)
+        elif t == "ConvTranspose":
+            out = _conv_transpose2d(
+                ins[0], ins[1], a["strides"], a["pads"],
+                a.get("dilations", [1, 1]), a.get("group", 1),
+                a.get("output_padding", [0, 0]),
             )
             if len(ins) > 2:
                 out = out + ins[2].reshape(1, -1, 1, 1)
