@@ -62,6 +62,21 @@ class AugmentConfig:
     blur_size: int = 5
     crop_prob: float = 0.1
 
+    @classmethod
+    def identity(cls) -> "AugmentConfig":
+        """A no-op config: every stochastic op disabled (probabilities 0,
+        photometric jitters pinned to factor 1). Keeps the fused
+        augment-in-train-step path — normalization and adaptive
+        per-image class weights still run — while making training
+        deterministic in image space (train.py --no_augment; used by the
+        overfit learning proof)."""
+        return cls(
+            flip_prob=0.0, vflip_prob=0.0, zoom_rotate_prob=0.0,
+            gridmask_prob=0.0, brightness_jitter=1.0, chroma_jitter=1.0,
+            contrast_jitter=1.0, sharpness_jitter=1.0, grayscale_prob=0.0,
+            blur_prob=0.0, crop_prob=0.0,
+        )
+
 
 def _uniform_jitter(key, jitter: float):
     """U(jitter, 1/jitter) — the PIL-enhance factor distribution

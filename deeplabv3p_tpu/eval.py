@@ -129,8 +129,28 @@ def eval_miou(
 
     # pseudo-models running host-side engines (e.g. the ONNX numpy
     # interpreter) set jittable=False and run eagerly
-    if getattr(model, "jittable", True):
+    jittable = getattr(model, "jittable", True)
+    if jittable:
         predict_masks = jax.jit(predict_masks)
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+
+    @jax.jit
+    def fused_eval_step(cm, images_u8, labels_u8):
+        """ONE dispatch per batch: normalize + forward + argmax +
+        confusion delta + accumulate — logits/masks never leave the
+        device (reference hot loop eval.py:403-459 runs per-image on
+        host). On TPU the confusion matrix is the one-hot MATMUL form
+        (MXU) rather than bincount (serialized scatter)."""
+        images, labels = preprocess_eval_batch(
+            images_u8, labels_u8, num_classes=num_classes
+        )
+        preds = predict_masks(images)
+        cm_fn = (
+            metrics_lib.confusion_matrix_matmul
+            if on_tpu else metrics_lib.confusion_matrix
+        )
+        return cm + cm_fn(labels, preds, num_classes)
 
     @jax.jit
     def cm_update(cm, pred, labels):
@@ -138,6 +158,14 @@ def eval_miou(
 
     cm = jnp.zeros((num_classes, num_classes), jnp.int32)
     sample_idx = 0
+    if jittable and not (do_crf or save_result):
+        # fast path: stream batches through the fused program
+        for images_u8, labels_u8, _ in ds.epoch_batches():
+            cm = fused_eval_step(
+                cm, jnp.asarray(images_u8), jnp.asarray(labels_u8)
+            )
+        cm_host = np.asarray(cm)
+        return _finish_eval(cm_host, class_names, plots, out_dir)
     for images_u8, labels_u8, _ in ds.epoch_batches():
         images, labels = preprocess_eval_batch(
             jnp.asarray(images_u8), jnp.asarray(labels_u8),
@@ -165,7 +193,12 @@ def eval_miou(
         cm = cm_update(cm, preds, labels)
         sample_idx += images_u8.shape[0]
 
-    cm_host = np.asarray(cm)
+    return _finish_eval(np.asarray(cm), class_names, plots, out_dir)
+
+
+def _finish_eval(cm_host, class_names, plots, out_dir):
+    """Metric derivation + the reference's summary report + plots
+    (eval.py:461-510)."""
     m = metrics_lib.segment_metrics_from_confusion(cm_host)
 
     # per-class report sorted by IoU descending (reference eval.py:487-506)

@@ -72,6 +72,33 @@ def confusion_matrix(
     return counts[:-1].reshape(num_classes, num_classes)
 
 
+def confusion_matrix_matmul(
+    gt_mask: jax.Array, pred_mask: jax.Array, num_classes: int
+) -> jax.Array:
+    """Confusion matrix as ONE-HOT MATMUL: cmᵢⱼ = Σₙ 1[gt=i]·1[pred=j],
+    i.e. (C, N) @ (N, C) — MXU-shaped, no scatter. The bincount form
+    lowers to a serialized scatter-add on TPU; this form rides the
+    systolic array instead (the 'fully-fused eval' formulation, VERDICT
+    r2 item #6). f32 accumulation is exact below 2²⁴ counts per cell —
+    a 512² batch of 8 images is 2.1 M pixels, well under.
+
+    Same contract as `confusion_matrix`: gt outside [0, num_classes)
+    (ignore_index 255) is excluded.
+    """
+    gt = gt_mask.reshape(-1).astype(jnp.int32)
+    pred = pred_mask.reshape(-1).astype(jnp.int32)
+    valid = (gt >= 0) & (gt < num_classes)
+    oh_gt = jax.nn.one_hot(
+        jnp.where(valid, gt, num_classes), num_classes, dtype=jnp.float32
+    )  # invalid rows one-hot to the dropped C-th slot → all-zero row
+    oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    cm = jnp.einsum(
+        "nc,nd->cd", oh_gt, oh_pred,
+        preferred_element_type=jnp.float32,
+    )
+    return cm.astype(jnp.int32)
+
+
 class SegmentMetrics(NamedTuple):
     pixel_acc: float
     mean_class_acc: float
@@ -81,6 +108,7 @@ class SegmentMetrics(NamedTuple):
     iou: np.ndarray
     dice: np.ndarray
     freq: np.ndarray
+    confusion: np.ndarray = None  # the (C, C) source matrix
 
 
 def segment_metrics_from_confusion(cm: np.ndarray) -> SegmentMetrics:
@@ -118,6 +146,7 @@ def segment_metrics_from_confusion(cm: np.ndarray) -> SegmentMetrics:
         iou=iou,
         dice=dice,
         freq=freq,
+        confusion=np.asarray(cm),
     )
 
 

@@ -144,18 +144,114 @@ def _reduce_metrics(step_metrics: tuple):
 
 
 def make_eval_step(model, num_classes: int):
-    """Jitted eval step: logits → argmax → confusion-matrix delta.
+    """Fused jitted eval step: uint8 batch → normalize → forward → argmax
+    → confusion-matrix delta, ONE dispatch per batch (logits and masks
+    never leave the device — VERDICT r2 item #6).
 
-    (state_params, images, labels) -> (C, C) int32 confusion matrix for
-    the batch; accumulate on device across batches.
+    (variables, images_u8, labels_u8) -> (C, C) int32 confusion delta;
+    accumulate on device across batches. On TPU the confusion matrix is
+    the one-hot matmul form (MXU) instead of bincount (serialized
+    scatter).
     """
+    from deeplabv3p_tpu.data.augment import preprocess_eval_batch
 
-    def step_fn(variables, images, labels):
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    cm_fn = (
+        metrics_lib.confusion_matrix_matmul
+        if on_tpu else metrics_lib.confusion_matrix
+    )
+
+    def step_fn(variables, images_u8, labels_u8):
+        images, labels = preprocess_eval_batch(
+            images_u8, labels_u8, num_classes=num_classes
+        )
         logits = model.apply(variables, images, train=False)
         preds = jnp.argmax(logits, axis=-1)
-        return metrics_lib.confusion_matrix(labels, preds, num_classes)
+        return cm_fn(labels, preds, num_classes)
 
     return step_fn
+
+
+def recalibrate_batch_stats(model, variables, batches, num_classes: int,
+                            seed: int = 0):
+    """Replace BN running statistics with EXACT dataset statistics.
+
+    Keras BN momentum in the reference backbones is up to 0.999, i.e. the
+    running mean/var EMA has a ~1000-step horizon (fine for the
+    reference's multi-epoch VOC runs, reference train.py:177-187). Short
+    runs — overfit checks, SWA finalization — end with running stats still
+    near their init, so eval-mode forward diverges wildly from train-mode.
+    The standard fix (tf-addons SWA docs: re-run forward passes to update
+    BN statistics before inference) done exactly: one train-mode pass over
+    `batches`, capturing every BN input's per-batch count/sum/sum-of-
+    squares via a flax interceptor (same mechanism as
+    export/quantize.py's calibration), then writing pooled mean/var into
+    the batch_stats tree. Returns updated variables.
+    """
+    import flax.linen as nn
+
+    from deeplabv3p_tpu.data.augment import preprocess_eval_batch
+
+    def calib_fn(images_u8, labels_u8, rng):
+        images, _ = preprocess_eval_batch(
+            images_u8, labels_u8, num_classes=num_classes
+        )
+        captured = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            if (
+                isinstance(context.module, nn.BatchNorm)
+                and context.method_name == "__call__"
+            ):
+                x = args[0].astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                captured["/".join(context.module.path)] = (
+                    n, x.sum(axes), (x * x).sum(axes)
+                )
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(
+                variables, images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+        return captured
+
+    jitted = jax.jit(calib_fn)
+    totals: dict[str, list] = {}
+    rng = jax.random.PRNGKey(seed)
+    for i, host_batch in enumerate(batches):
+        got = jax.device_get(
+            jitted(
+                jnp.asarray(host_batch[0]), jnp.asarray(host_batch[1]),
+                jax.random.fold_in(rng, i),
+            )
+        )
+        for path, (n, s, sq) in got.items():
+            # n round-trips through jit as a 0-d (read-only) array
+            if path in totals:
+                t = totals[path]
+                t[0] = t[0] + float(n)
+                t[1] = t[1] + s
+                t[2] = t[2] + sq
+            else:
+                totals[path] = [float(n), s, sq]
+
+    from flax.core import unfreeze
+
+    stats = unfreeze(jax.device_get(variables["batch_stats"]))
+    for path, (n, s, sq) in totals.items():
+        node = stats
+        for part in path.split("/"):
+            node = node[part]
+        mean = s / n
+        var = np.maximum(sq / n - mean * mean, 0.0)
+        node["mean"] = np.asarray(mean, node["mean"].dtype)
+        node["var"] = np.asarray(var, node["var"].dtype)
+    return {**variables, "batch_stats": stats}
 
 
 class Trainer:
@@ -510,18 +606,15 @@ class Trainer:
         self, state: TrainState, val_data, average_type: Optional[str] = None
     ) -> metrics_lib.SegmentMetrics:
         """Streaming confusion-matrix evaluation of the current params
-        (with averaged weights when averaging is active)."""
-        from deeplabv3p_tpu.data.augment import preprocess_eval_batch
-
+        (with averaged weights when averaging is active). One fused
+        dispatch per batch; only the final (C, C) matrix reaches host."""
         eval_step = self._eval_step
         params = opt_lib.average_params(average_type, state.avg, state.params)
         variables = {"params": params, "batch_stats": state.batch_stats}
         cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         for host_batch in val_data.epoch_batches():
-            images, labels = preprocess_eval_batch(
-                jnp.asarray(host_batch[0]),
+            cm = cm + eval_step(
+                variables, jnp.asarray(host_batch[0]),
                 jnp.asarray(host_batch[1]),
-                num_classes=self.num_classes,
             )
-            cm = cm + eval_step(variables, images, labels)
         return metrics_lib.segment_metrics_from_confusion(np.asarray(cm))

@@ -54,22 +54,42 @@ def main(args):
     assert num_classes < 254, "PNG label only supports < 254 classes"
     input_shape = parse_input_shape(args.model_input_shape)
 
-    train_list = get_data_list(args.dataset_file)
-    val_list = get_data_list(args.val_dataset_file) if args.val_dataset_file else []
+    from deeplabv3p_tpu.data.shards import ShardedDataset, is_packed_dataset
 
-    train_ds = SegmentationDataset(
-        args.dataset_path, train_list, batch_size=args.batch_size,
-        num_classes=num_classes, input_shape=input_shape, augment=True,
-    )
-    val_ds = (
-        SegmentationDataset(
-            args.dataset_path, val_list, batch_size=args.batch_size,
-            num_classes=num_classes, input_shape=input_shape, augment=False,
+    if is_packed_dataset(args.dataset_path):
+        # pre-decoded shard dir (tools/dataset_converter/pack_dataset.py):
+        # epochs stream mmap'd uint8 — no per-step JPEG decode
+        train_ds = ShardedDataset(
+            args.dataset_path, batch_size=args.batch_size,
+        )
+        if tuple(train_ds.input_shape) != tuple(input_shape):
+            raise SystemExit(
+                f"packed dataset resolution {train_ds.input_shape} != "
+                f"--model_input_shape {input_shape}; re-pack or adjust"
+            )
+        train_list = train_ds.ids
+    else:
+        train_list = get_data_list(args.dataset_file)
+        train_ds = SegmentationDataset(
+            args.dataset_path, train_list, batch_size=args.batch_size,
+            num_classes=num_classes, input_shape=input_shape,
+            augment=args.augment,
+        )
+
+    val_ds = None
+    if args.val_dataset_file and is_packed_dataset(args.val_dataset_file):
+        val_ds = ShardedDataset(
+            args.val_dataset_file, batch_size=args.batch_size,
             shuffle=False, drop_remainder=False,
         )
-        if val_list
-        else None
-    )
+    elif args.val_dataset_file:
+        val_list = get_data_list(args.val_dataset_file)
+        if val_list:
+            val_ds = SegmentationDataset(
+                args.dataset_path, val_list, batch_size=args.batch_size,
+                num_classes=num_classes, input_shape=input_shape,
+                augment=False, shuffle=False, drop_remainder=False,
+            )
 
     class_weights = None
     if args.weighted_type == "balanced":
@@ -83,11 +103,17 @@ def main(args):
             from deeplabv3p_tpu.utils.config import calculate_weights_labels
 
             print("computing balanced class weights over the dataset ...")
-            stat_ds = SegmentationDataset(
-                args.dataset_path, train_list, batch_size=args.batch_size,
-                num_classes=num_classes, input_shape=input_shape,
-                augment=False, shuffle=False,
-            )
+            if is_packed_dataset(args.dataset_path):
+                stat_ds = ShardedDataset(
+                    args.dataset_path, batch_size=args.batch_size,
+                    shuffle=False,
+                )
+            else:
+                stat_ds = SegmentationDataset(
+                    args.dataset_path, train_list,
+                    batch_size=args.batch_size, num_classes=num_classes,
+                    input_shape=input_shape, augment=False, shuffle=False,
+                )
             class_weights = calculate_weights_labels(
                 stat_ds, num_classes, save_path=wpath
             )
@@ -148,7 +174,10 @@ def main(args):
     )
 
     ckpt = CheckpointManager(args.log_dir)
-    aug_cfg = AugmentConfig()
+    # --no_augment keeps the fused device preprocessing (normalize +
+    # adaptive weights) but disables every stochastic op — deterministic
+    # training for overfit/convergence checks
+    aug_cfg = AugmentConfig() if args.augment else AugmentConfig.identity()
 
     def augment_fn(key, images, labels, orig_hw):
         return augment_batch(
@@ -183,6 +212,27 @@ def main(args):
         initial_variables=initial_variables,
     )
     final = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.bn_recalibrate:
+        # exact BN statistics over the (un-augmented) train set — needed
+        # when the run is short vs the BN EMA horizon (momentum 0.999 ≈
+        # 1k steps); the tfa-SWA 'update BN stats' finalization
+        from deeplabv3p_tpu.train import recalibrate_batch_stats
+
+        if is_packed_dataset(args.dataset_path):
+            recal_ds = ShardedDataset(
+                args.dataset_path, batch_size=args.batch_size,
+                shuffle=False,
+            )
+        else:
+            recal_ds = SegmentationDataset(
+                args.dataset_path, train_list, batch_size=args.batch_size,
+                num_classes=num_classes, input_shape=input_shape,
+                augment=False, shuffle=False,
+            )
+        print("recalibrating BN statistics over the train set ...")
+        final = recalibrate_batch_stats(
+            model, final, recal_ds.epoch_batches(), num_classes
+        )
     path = ckpt.save_final(final)
     print(f"saved final model to {path}")
     for rec in trainer.history:
@@ -229,6 +279,15 @@ def parse_args():
                    help="shard image height over this many devices per "
                         "data-parallel group (2-D data x spatial mesh; "
                         "image H must divide by it)")
+    p.add_argument("--bn_recalibrate", action="store_true",
+                   help="replace BN running stats with exact train-set "
+                        "statistics before the final save (use for short "
+                        "runs or with --weights_average_type swa)")
+    p.add_argument("--augment", dest="augment", action="store_true",
+                   default=True)
+    p.add_argument("--no_augment", dest="augment", action="store_false",
+                   help="disable the stochastic augmentation ops "
+                        "(normalization/adaptive weights still apply)")
     p.add_argument("--mixed_precision", action="store_true", default=True)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (OS8 memory)")
