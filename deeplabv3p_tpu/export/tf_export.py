@@ -201,16 +201,55 @@ class FrozenGraphRunner:
     """Predictor over a frozen .pb (reference eval.py:116-143 pb branch:
     wrap the GraphDef, feed image_input, fetch the softmax output)."""
 
-    def __init__(self, path: str, input_name: str = "image_input:0",
+    def __init__(self, path: str, input_name: Optional[str] = None,
                  output_name: Optional[str] = None):
         tf = _require_tf()
         graph_def = tf.compat.v1.GraphDef()
         with open(path, "rb") as f:
             graph_def.ParseFromString(f.read())
 
+        if input_name is None:
+            # our exporter names the input 'image_input' (reference
+            # convention); for foreign graphs fall back to the unique
+            # Placeholder
+            names = {n.name for n in graph_def.node}
+            if "image_input" in names:
+                input_name = "image_input:0"
+            else:
+                ph = [n.name for n in graph_def.node
+                      if n.op == "Placeholder"]
+                if len(ph) != 1:
+                    raise ValueError(
+                        f"cannot infer the input tensor (placeholders: "
+                        f"{ph}); pass input_name explicitly"
+                    )
+                input_name = ph[0] + ":0"
         if output_name is None:
-            # the exported graph's final node is the output by construction
-            output_name = graph_def.node[-1].name + ":0"
+            # GraphDef node order is not a contract — find TERMINAL nodes
+            # (no consumers) and prefer well-known output names: the
+            # reference's keras_to_tensorflow.py graphs end in
+            # 'pred_mask/Softmax', ours in an Identity
+            consumed = {
+                inp.lstrip("^").split(":")[0]
+                for node in graph_def.node for inp in node.input
+            }
+            terminals = [
+                n.name for n in graph_def.node
+                if n.name not in consumed
+                and n.op not in ("Placeholder", "Const", "NoOp", "Assert")
+            ]
+            preferred = [
+                n for n in terminals
+                if "pred_mask" in n or "Softmax" in n
+                or n.split("/")[-1].startswith("Identity")
+            ]
+            pick = preferred or terminals
+            if len(pick) != 1:
+                raise ValueError(
+                    f"cannot infer the output tensor (terminal nodes: "
+                    f"{terminals}); pass output_name explicitly"
+                )
+            output_name = pick[0] + ":0"
 
         def _imports():
             tf.compat.v1.import_graph_def(graph_def, name="")

@@ -36,7 +36,9 @@ DEFAULT_CONFIG = {
     "do_crf": False,
     # optional jax.sharding.Mesh for multi-chip inference: with a
     # ('data', 'spatial') mesh a single high-res image is spatially
-    # partitioned across chips (GSPMD halo exchanges over ICI)
+    # partitioned across chips (GSPMD halo exchanges over ICI); the
+    # batch dim stays unsharded, so any data x spatial factorization
+    # works — a mesh without a 'spatial' axis is rejected
     "mesh": None,
 }
 
@@ -93,14 +95,26 @@ class DeepLab:
             x = jnp.zeros((1, *self.model_input_shape, 3), jnp.float32)
             self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
         if self.mesh is not None and self.mesh.size > 1:
-            from deeplabv3p_tpu.parallel.mesh import (
-                batch_arg_sharding,
-                replicated_sharding,
-            )
+            from jax.sharding import NamedSharding, PartitionSpec
 
+            from deeplabv3p_tpu.parallel.mesh import replicated_sharding
+
+            # Batch-1 inference cannot shard the batch dim: partition the
+            # image HEIGHT over the mesh's 'spatial' axis and leave batch
+            # unsharded (so any ('data', 'spatial') factorization works —
+            # the 'data' axis simply replicates). A 1-D 'data' mesh has
+            # nothing a single image can shard over → clear error.
+            if "spatial" not in self.mesh.axis_names:
+                raise ValueError(
+                    "multi-chip inference needs a mesh with a 'spatial' "
+                    "axis (make_mesh(n, axis_names=('data', 'spatial'))): "
+                    "a single image cannot shard over a pure 'data' mesh"
+                )
             self._predict = jax.jit(
                 self._predict_impl,
-                in_shardings=(batch_arg_sharding(self.mesh, 4),),
+                in_shardings=(
+                    NamedSharding(self.mesh, PartitionSpec(None, "spatial")),
+                ),
                 out_shardings=replicated_sharding(self.mesh),
             )
         else:

@@ -98,7 +98,11 @@ def main(args):
         if args.model_path.endswith(".tflite"):
             runner = TFLiteRunner(args.model_path)
         else:
-            runner = FrozenGraphRunner(args.model_path)
+            runner = FrozenGraphRunner(
+                args.model_path,
+                input_name=args.pb_input_node,
+                output_name=args.pb_output_node,
+            )
 
         class _TFModel:
             jittable = False  # host-side TF/TFLite engine
@@ -141,6 +145,13 @@ def parse_args():
     p.add_argument("--dataset_file", default="VOC2012/val.txt")
     p.add_argument("--classes_path", default="configs/voc_classes.txt")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--pb_input_node", default=None,
+                   help="input tensor name for externally produced .pb "
+                        "graphs (default: image_input:0 / the unique "
+                        "Placeholder)")
+    p.add_argument("--pb_output_node", default=None,
+                   help="output tensor name for externally produced .pb "
+                        "graphs (default: inferred from terminal nodes)")
     p.add_argument("--do_crf", action="store_true")
     p.add_argument("--save_result", action="store_true")
     p.add_argument("--device", default="auto", choices=["auto", "cpu"],
