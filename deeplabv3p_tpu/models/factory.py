@@ -116,11 +116,14 @@ class DeeplabV3Plus(nn.Module):
         if self.use_subpixel:
             # Reference hardcodes scale 4 (xception) / 8 (model.py:68-73);
             # we derive it from the actual feature resolution so every
-            # backbone/OS combination is shape-correct.
+            # backbone/OS combination is shape-correct. Scope name
+            # 'subpixel' (+ wrapper 'c' for the inner conv) maps to the
+            # reference's auto-assigned Keras layer name, so subpixel h5
+            # checkpoints interchange by name like every other layer.
             scale = in_h // feat.shape[1]
             logits = Subpixel(
                 self.num_classes, kernel_size=1, r=scale, dtype=self.dtype,
-                name="conv_upsample",
+                name="subpixel",
             )(feat)
             logits = logits.astype(jnp.float32)
         else:
@@ -237,7 +240,8 @@ def make_trainable_mask(params: Any, freeze_level: int) -> Any:
 
     0 — train everything;
     1 — freeze the backbone;
-    2 — freeze everything except the prediction head (`conv_upsample`).
+    2 — freeze everything except the prediction head (`conv_upsample`,
+        or `subpixel` for the sub-pixel head).
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -248,7 +252,7 @@ def make_trainable_mask(params: Any, freeze_level: int) -> Any:
         if freeze_level == 1:
             return "backbone" not in keys
         if freeze_level == 2:
-            return "conv_upsample" in keys
+            return "conv_upsample" in keys or "subpixel" in keys
         raise ValueError(f"invalid freeze_level {freeze_level}")
 
     treedef = jax.tree_util.tree_structure(params)

@@ -542,7 +542,10 @@ class Subpixel(nn.Module):
             kernel_init=kernel_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            name="conv",
+            # 'c' is a wrapper scope the h5 importer strips: the module's
+            # own name (reference auto-name 'subpixel') IS the Keras
+            # layer name carrying kernel/bias
+            name="c",
         )(x)
         n, h, w, c = x.shape
         cout = c // (r * r)

@@ -412,8 +412,8 @@ def test_subpixel_phase_shift_matches_reference_formula():
 
     m = Subpixel(cout, kernel_size=1, r=r)
     got = m.apply(
-        {"params": {"conv": {"kernel": jnp.asarray(k),
-                             "bias": jnp.asarray(b)}}},
+        {"params": {"c": {"kernel": jnp.asarray(k),
+                          "bias": jnp.asarray(b)}}},
         jnp.asarray(x),
     )
 
@@ -729,21 +729,23 @@ def test_full_model_parity_resnet50(tmp_path, legacy_h5):
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
 
 
-def test_full_model_parity_mobilevit_xxs_lite(tmp_path, legacy_h5):
-    """Ninth full-model oracle: MobileViT-XXS-Lite — the complete
-    attention model end-to-end, with the KERAS side using the reference's
-    unfold (Reshape (P,N,C) + MHA default attention_axes) and the flax
-    side its global-flatten equivalent; pins transformer weight paths
-    inside the full tree, MV2 swish blocks (BN momentum 0.1), and the
-    1x1 feature conv."""
+@pytest.mark.parametrize("size", ["xxs", "xs", "s"])
+def test_full_model_parity_mobilevit_lite(tmp_path, legacy_h5, size):
+    """Ninth full-model oracle: MobileViT-Lite in ALL THREE size configs
+    — the complete attention model end-to-end, with the KERAS side using
+    the reference's unfold (Reshape (P,N,C) + MHA default attention_axes)
+    and the flax side its global-flatten equivalent; pins transformer
+    weight paths inside the full tree, MV2 swish blocks (BN momentum
+    0.1), the 1x1 feature conv, and the S/XS channel/dim/expansion
+    tables XXS alone cannot cover (VERDICT r2 weak #8)."""
     import h5py
 
-    from keras_twin import build_mobilevit_xxs_lite_keras, randomize_keras_weights
+    from keras_twin import build_mobilevit_lite_keras, randomize_keras_weights
     from deeplabv3p_tpu.models.factory import build_deeplab_model
     from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
 
     hw, ncls = 128, 5
-    kmodel = build_mobilevit_xxs_lite_keras(ncls, (hw, hw))
+    kmodel = build_mobilevit_lite_keras(ncls, (hw, hw), size=size)
     randomize_keras_weights(kmodel, seed=121)
     path = str(tmp_path / "mvit.h5")
     with h5py.File(path, "w") as f:
@@ -753,7 +755,97 @@ def test_full_model_parity_mobilevit_xxs_lite(tmp_path, legacy_h5):
     x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
     want = kmodel(x, training=False).numpy()
 
-    model = build_deeplab_model("mobilevit_xxs_lite", ncls, output_stride=16)
+    model = build_deeplab_model(f"mobilevit_{size}_lite", ncls, output_stride=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (1, hw, hw, ncls)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_reference_builder_unet_standard_parity(tmp_path, legacy_h5):
+    """Provenance oracle (ADVICE r2 #4): instantiate the REFERENCE'S OWN
+    UNetStandard builder (/root/reference/unet/models/unet.py:14-79),
+    transfer its weights into our hand-written Keras twin by position,
+    and require reference-builder == twin == flax on the same input.
+    A shared misreading of the reference architecture in keras_twin.py
+    would break the positional weight transfer (shape mismatch) or the
+    output comparison here."""
+    import sys as _sys
+
+    import h5py
+
+    from keras_twin import build_unet_standard_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_segmentation_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    if "/root/reference" not in _sys.path:
+        _sys.path.append("/root/reference")
+    from unet.models.unet import UNetStandard  # the reference's builder
+
+    hw, ncls = 64, 5
+    ref = UNetStandard(ncls, input_shape=(hw, hw, 3))
+    randomize_keras_weights(ref, seed=151)
+
+    twin = build_unet_standard_keras(ncls, (hw, hw))
+    twin.set_weights(ref.get_weights())  # positional: same topology
+
+    rng = np.random.RandomState(22)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = ref(x, training=False).numpy()
+    twin_out = twin(x, training=False).numpy()
+    np.testing.assert_allclose(twin_out, want, rtol=1e-5, atol=1e-5)
+
+    path = str(tmp_path / "unet_ref.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), twin)
+    model = build_segmentation_model("unet_standard", ncls)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.999
+
+
+def test_full_model_parity_subpixel_head(tmp_path, legacy_h5):
+    """Sub-pixel head oracle (VERDICT r2 item #9): MobileNetV2-Lite with
+    the reference's Subpixel prediction head (model.py:68-73) — the Keras
+    twin ends in Conv2D C*r*r (layer auto-name 'subpixel') + the
+    _phase_shift rearrange; pins the subpixel h5 interchange (our
+    'subpixel'/'c' scope) and the ICNR head's end-to-end numerics."""
+    import h5py
+
+    from keras_twin import build_mobilenetv2_lite_keras, randomize_keras_weights
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    hw, ncls = 64, 5
+    kmodel = build_mobilenetv2_lite_keras(ncls, (hw, hw), use_subpixel=True)
+    randomize_keras_weights(kmodel, seed=141)
+    path = str(tmp_path / "subpixel.h5")
+    with h5py.File(path, "w") as f:
+        legacy_h5.save_weights_to_hdf5_group(f.create_group("model_weights"), kmodel)
+
+    rng = np.random.RandomState(21)
+    x = rng.rand(1, hw, hw, 3).astype(np.float32) * 2 - 1
+    want = kmodel(x, training=False).numpy()
+
+    model = build_deeplab_model(
+        "mobilenetv2_lite", ncls, output_stride=16, use_subpixel=True
+    )
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
     )
