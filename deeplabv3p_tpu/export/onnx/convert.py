@@ -463,6 +463,54 @@ def _pad(cv, eqn, vals):
     return _Sym(cv.b.add_node("Pad", args, mode="constant")[0])
 
 
+@_register("gather")
+def _gather(cv, eqn, vals):
+    """take-along-axis gathers → ONNX Gather(axis=k).
+
+    The pattern `jnp.take(x, idx, axis=k)` (what jax.image.resize
+    'nearest' traces to: per-axis row/column index gathers) appears as
+    start_index_map == collapsed_slice_dims == (k,), full slice sizes on
+    every other dim, and (N, 1) indices whose batch dim lands at output
+    position k. General XLA gather stays a loud gap.
+    """
+    dn = eqn.params["dimension_numbers"]
+    slice_sizes = eqn.params["slice_sizes"]
+    op_shape = eqn.invars[0].aval.shape
+    idx_shape = eqn.invars[1].aval.shape
+    ok = (
+        len(dn.start_index_map) == 1
+        and tuple(dn.collapsed_slice_dims) == tuple(dn.start_index_map)
+        and not dn.operand_batching_dims
+        and len(idx_shape) == 2 and idx_shape[1] == 1
+    )
+    if ok:
+        k = dn.start_index_map[0]
+        ok = slice_sizes[k] == 1 and all(
+            slice_sizes[i] == op_shape[i]
+            for i in range(len(op_shape)) if i != k
+        )
+        # the index batch dim must land at output position k
+        out_rank = len(op_shape)  # collapsed 1 + inserted 1
+        batch_pos = [d for d in range(out_rank) if d not in dn.offset_dims]
+        ok = ok and batch_pos == [k]
+    if not ok:
+        raise NotImplementedError(
+            f"general gather (dims {dn}, slices {slice_sizes})"
+        )
+    data = cv.as_name(vals[0], "x")
+    if isinstance(vals[1], _Sym):
+        idx = cv.b.add_node(
+            "Reshape",
+            [str(vals[1]),
+             cv.b.constant(np.asarray([idx_shape[0]], np.int64), "shape")],
+        )[0]
+    else:
+        idx = cv.b.constant(
+            _np_of(vals[1]).reshape(-1).astype(np.int64), "indices"
+        )
+    return _Sym(cv.b.add_node("Gather", [data, idx], axis=int(k))[0])
+
+
 @_register("reduce_sum", "reduce_max", "reduce_min", "reduce_prod")
 def _reduce(cv, eqn, vals):
     prim = eqn.primitive.name

@@ -263,6 +263,8 @@ def run_model(model: op.ModelProto, inputs: dict[str, np.ndarray]) -> dict:
             out = _pool2d(ins[0], "avg", a["kernel_shape"], a["strides"],
                           a["pads"],
                           count_include_pad=bool(a.get("count_include_pad")))
+        elif t == "Gather":
+            out = np.take(ins[0], ins[1].astype(np.int64), axis=a.get("axis", 0))
         elif t == "Identity":
             out = ins[0]
         elif t == "Softmax":
