@@ -84,30 +84,72 @@ def _compiled_flops(jitted, *args) -> float:
 
 
 def _median_ms(fn, *args, warmup=3, iters=20):
-    """Synchronous per-call latency (includes host<->device round trip)."""
+    """Synchronous per-call latency (includes host<->device round trip
+    AND result readback — block_until_ready alone does not wait for
+    execution through the tunnel, see _steady_state_ms)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times))
 
 
-def _steady_state_ms(chain_fn, x0, warmup=3, iters=50):
-    """Pipelined steady-state ms/call: dispatch all, block once.
-    chain_fn(x) -> (result, next_x) with next_x derived from the result
-    on device (cache-proof chaining, see module docstring)."""
-    x = x0
+def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
+    """Honest steady-state ms/step on the tunneled client.
+
+    Round-3 finding: through this tunnel `jax.block_until_ready` is
+    effectively a no-op (returns before the device has executed the
+    queued dispatches), so any host-side chained loop can time pure
+    ENQUEUE cost — we measured physically impossible numbers (resnet50
+    b32 train at "2.9 ms"/step = 12x apparent MFU; the same program is
+    152 ms/step when a value is actually fetched). Only device_get of a
+    VALUE is unfakeable.
+
+    Recipe: run K steps inside ONE `lax.scan` dispatch whose final carry
+    feeds a scalar probe; fetch the probe (forces execution of all K
+    sequential iterations — each depends on the previous carry). Time
+    fetch-closed calls at lengths K and 2K and report (T_2K - T_K)/K:
+    the difference cancels the per-call RPC + fetch cost.
+
+    chain_fn(x) -> (result, next_x) with next_x derived on device
+    (result is ignored inside the scan).
+    """
+    k = max(4, iters // 2)
+
+    def make(n):
+        def body(c, _):
+            _, nxt = chain_fn(c)
+            return nxt, None
+
+        @jax.jit
+        def run(c):
+            c2, _ = jax.lax.scan(body, c, None, length=n)
+            leaf = jax.tree_util.tree_leaves(c2)[0]
+            return jnp.sum(leaf.astype(jnp.float32)), c2
+
+        return run
+
+    run_k, run_2k = make(k), make(2 * k)
+    # compile + warm both programs (fetch-closed)
     for _ in range(warmup):
-        out, x = chain_fn(x)
-    jax.block_until_ready((out, x))
+        p, x0 = run_k(x0)
+        float(p)
+    p, x0 = run_2k(x0)
+    float(p)
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out, x = chain_fn(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) * 1e3 / iters
+    p, x0 = run_k(x0)
+    float(p)
+    t_k = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    p, x0 = run_2k(x0)
+    float(p)
+    t_2k = time.perf_counter() - t0
+    return max(t_2k - t_k, 1e-9) * 1e3 / k
 
 
 def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
@@ -168,22 +210,21 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
 
     flops = _compiled_flops(train_step, state, images, labels, weights, 1.0)
 
-    # Vary a traced scalar every call: with constant args + a donated
-    # state buffer, consecutive dispatches are byte-identical and the
-    # tunnel's duplicate-dispatch cache can replay them WITHOUT running
-    # the device program (measured 5.9 "ms"/step vs 152 real for
-    # resnet50 b32 — impossible >1 MFU numbers in the r3 probe). A
-    # distinct lr_scale per step defeats the cache with zero cost.
-    state, m = train_step(state, images, labels, weights, 1.0)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = train_step(
-            state, images, labels, weights, 1.0 + (i + 1) * 1e-9
-        )
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt, flops / 1e9
+    # Honest chained timing (see _steady_state_ms): images for step i+1
+    # derive from step i's loss, every warmup step is closed by a value
+    # fetch, and the reported time is the difference of two fetch-closed
+    # windows. Plain block_until_ready after warmup measured physically
+    # impossible numbers on this rig (e.g. 2.9 "ms"/step for resnet50
+    # b32 vs 152 ms real — >1 apparent MFU).
+    @jax.jit
+    def chain(carry):
+        st, imgs = carry
+        st, m = train_step(st, imgs, labels, weights, 1.0)
+        return m["loss"], (st, imgs + m["loss"] * 1e-12)
+
+    ms = _steady_state_ms(chain, (state, images), warmup=3,
+                          iters=max(6, iters))
+    return batch / (ms / 1e3), flops / 1e9
 
 
 def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
@@ -369,14 +410,12 @@ def bench_eval_throughput(model_type="mobilenetv2_lite", hw=512, batch=8,
     labels_u8 = jax.random.randint(
         jax.random.PRNGKey(1), (batch, hw, hw), 0, num_classes, jnp.uint8
     )
-    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-    cm = step(cm, images_u8, labels_u8)
-    jax.block_until_ready(cm)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cm = step(cm, images_u8, labels_u8)
-    jax.block_until_ready(cm)
-    return batch * iters / (time.perf_counter() - t0)
+    cm0 = jnp.zeros((num_classes, num_classes), jnp.int32)
+    ms = _steady_state_ms(
+        lambda cm: (cm, step(cm, images_u8, labels_u8)),
+        cm0, warmup=3, iters=iters,
+    )
+    return batch / (ms / 1e3)
 
 
 def bench_learn(max_epochs=120, target=0.95):
