@@ -396,25 +396,24 @@ def bench_eval_throughput(model_type="mobilenetv2_lite", hw=512, batch=8,
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     eval_step = make_eval_step(model, num_classes)
 
-    # accumulate INSIDE the dispatch so each call's cm argument differs —
-    # constant-arg dispatch chains can be replayed by the tunnel's
-    # duplicate-dispatch cache without executing (see
-    # bench_train_throughput)
-    @jax.jit
-    def step(cm, images_u8, labels_u8):
-        return cm + eval_step(variables, images_u8, labels_u8)
-
     images_u8 = jax.random.randint(
         jax.random.PRNGKey(0), (batch, hw, hw, 3), 0, 256, jnp.uint8
     )
     labels_u8 = jax.random.randint(
         jax.random.PRNGKey(1), (batch, hw, hw), 0, num_classes, jnp.uint8
     )
+
+    # the image input must depend on the accumulated cm (carry) or XLA
+    # hoists the loop-invariant forward pass out of the timing scan
+    # (measured eval "throughput" above pure inference throughput)
+    def chain(carry):
+        cm, imgs = carry
+        cm2 = cm + eval_step(variables, imgs, labels_u8)
+        nudge = (cm2[0, 0] % 2).astype(jnp.uint8)
+        return cm2, (cm2, imgs + nudge)
+
     cm0 = jnp.zeros((num_classes, num_classes), jnp.int32)
-    ms = _steady_state_ms(
-        lambda cm: (cm, step(cm, images_u8, labels_u8)),
-        cm0, warmup=3, iters=iters,
-    )
+    ms = _steady_state_ms(chain, (cm0, images_u8), warmup=3, iters=iters)
     return batch / (ms / 1e3)
 
 
@@ -608,6 +607,23 @@ def main():
         log(f"  failed: {exc}")
         configs["learn"] = {"error": str(exc)[:200]}
 
+    # host->device transfer bandwidth of one training batch (8 x 512^2
+    # uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that
+    # bounds cli_train on this rig (a real TPU host pays PCIe/DMA here)
+    log("host->device transfer bandwidth ...")
+    batch_bytes = 8 * 512 * 512 * 3 + 8 * 512 * 512
+    host_buf = np.zeros(batch_bytes, np.uint8)
+    jax.block_until_ready(jax.device_put(host_buf))  # warm path
+    bw = []
+    for i in range(3):
+        host_buf[i] = i  # defeat any content caching
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_buf)
+        np.asarray(dev[-1])  # value fetch = real sync
+        bw.append(batch_bytes / (time.perf_counter() - t0) / 1e9)
+    transfer_gbps = float(np.median(bw))
+    log(f"  {transfer_gbps:.3f} GB/s")
+
     log("cli pipeline (on-disk JPEG -> fused train step) ...")
     (cli_ips, cli_ips_mean, decode_ips,
      packed_best, packed_mean) = bench_cli_pipeline()
@@ -618,6 +634,11 @@ def main():
         "packed_shards_images_per_sec_mean": round(packed_mean, 1),
         "host_decode_ceiling_images_per_sec": round(decode_ips, 1),
         "fraction_of_decode_ceiling": round(cli_ips / decode_ips, 3),
+        "tunnel_transfer_gbps": round(transfer_gbps, 3),
+        # ceiling implied by the tunnel alone: bytes/image at 512^2 uint8
+        "tunnel_transfer_ceiling_images_per_sec": round(
+            transfer_gbps * 1e9 / (512 * 512 * 4), 1
+        ),
         # Bench-rig caveat: decode shares ONE bursty CPU core (identical
         # decode epochs measure 27..130 img/s back-to-back) and every
         # step's 8.4 MB uint8 batch rides the tunneled-TPU connection; on
