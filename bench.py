@@ -331,6 +331,32 @@ def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
     packed_secs = [p_marks[-2] - p_marks[-3], p_marks[-1] - p_marks[-2]]
     packed_best = len(sds) * batch / min(packed_secs)
     packed_mean = len(sds) * batch * len(packed_secs) / sum(packed_secs)
+
+    # device-resident path (data/device_cache.py): the whole uint8 set
+    # uploaded once, per-step host traffic = B int32 indices — the host
+    # decode AND the tunnel transfer drop out of the loop entirely
+    from deeplabv3p_tpu.data.device_cache import DeviceCachedDataset
+
+    dds = DeviceCachedDataset.from_source(sds)
+    d_marks = []
+
+    class _TimingDev:
+        def epoch_batches(self):
+            d_marks.append(time.perf_counter())
+            return dds.epoch_batches()
+
+        def __len__(self):
+            return len(dds)
+
+    trainer3 = Trainer(
+        model, num_classes, get_loss_fn("crossentropy"), mesh=make_mesh(1),
+        log_dir=tempfile.mkdtemp(prefix="bench_logs_"),
+    )
+    trainer3.fit(_TimingDev(), [stage], augment_fn=augment_fn)
+    d_marks.append(time.perf_counter())
+    dev_secs = [d_marks[-2] - d_marks[-3], d_marks[-1] - d_marks[-2]]
+    dev_best = len(dds) * batch / min(dev_secs)
+    dev_mean = len(dds) * batch * len(dev_secs) / sum(dev_secs)
     # marks: [init-probe, epoch0(compile), epoch1, epoch2, end] — fit's
     # shape probe also calls epoch_batches(), hence the extra first mark.
     # Report BOTH the best and the mean steady epoch (ADVICE r2: the
@@ -341,7 +367,8 @@ def bench_cli_pipeline(hw=512, batch=8, n_images=128, num_classes=21):
     steps_per_epoch = len(ds)
     cli_ips = steps_per_epoch * batch / min(epoch_secs)
     cli_ips_mean = steps_per_epoch * batch * len(epoch_secs) / sum(epoch_secs)
-    return cli_ips, cli_ips_mean, decode_ips, packed_best, packed_mean
+    return (cli_ips, cli_ips_mean, decode_ips, packed_best, packed_mean,
+            dev_best, dev_mean)
 
 
 def bench_int8(model_type: str, hw=512, batch=1, num_classes=21, iters=25):
@@ -626,12 +653,16 @@ def main():
 
     log("cli pipeline (on-disk JPEG -> fused train step) ...")
     (cli_ips, cli_ips_mean, decode_ips,
-     packed_best, packed_mean) = bench_cli_pipeline()
+     packed_best, packed_mean, dev_best, dev_mean) = bench_cli_pipeline()
     configs["cli_train"] = {
         "images_per_sec": round(cli_ips, 1),
         "images_per_sec_mean": round(cli_ips_mean, 1),
         "packed_shards_images_per_sec": round(packed_best, 1),
         "packed_shards_images_per_sec_mean": round(packed_mean, 1),
+        # --device_cache path: whole set resident in HBM, on-device
+        # batch gather — no per-step decode OR transfer (device_cache.py)
+        "device_cache_images_per_sec": round(dev_best, 1),
+        "device_cache_images_per_sec_mean": round(dev_mean, 1),
         "host_decode_ceiling_images_per_sec": round(decode_ips, 1),
         "fraction_of_decode_ceiling": round(cli_ips / decode_ips, 3),
         "tunnel_transfer_gbps": round(transfer_gbps, 3),

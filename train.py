@@ -143,6 +143,15 @@ def main(args):
         )
     else:
         mesh = make_mesh(args.num_devices if args.num_devices > 0 else None)
+    if args.device_cache:
+        # whole-dataset-in-HBM feeder: upload once, gather batches
+        # on-device — per-step host traffic drops to B int32 indices
+        # (data/device_cache.py; the tunnel/decode ceiling disappears)
+        from deeplabv3p_tpu.data.device_cache import DeviceCachedDataset
+
+        print("caching the train set into device memory ...")
+        train_ds = DeviceCachedDataset.from_source(train_ds, mesh=mesh)
+
     trainer = Trainer(
         model, num_classes, loss_fn,
         use_sample_weights=(args.weighted_type == "adaptive"),
@@ -283,6 +292,10 @@ def parse_args():
                    help="replace BN running stats with exact train-set "
                         "statistics before the final save (use for short "
                         "runs or with --weights_average_type swa)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="cache the whole train set in device memory and "
+                        "gather batches on-device (fits-in-HBM datasets; "
+                        "removes the host decode/transfer ceiling)")
     p.add_argument("--augment", dest="augment", action="store_true",
                    default=True)
     p.add_argument("--no_augment", dest="augment", action="store_false",
