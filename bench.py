@@ -182,9 +182,10 @@ def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
 
 
 def bench_train_throughput(model_type: str, hw=512, batch=16,
-                           num_classes=21, iters=10):
+                           num_classes=21, iters=10, fused_loss=False):
     """Returns (images/sec/chip, step GFLOPs) for the full jitted
-    fwd+bwd+optimizer+metrics step."""
+    fwd+bwd+optimizer+metrics step. fused_loss routes the loss tail
+    through the Pallas upsample+CE kernel (ops/pallas/upsample_ce.py)."""
     from deeplabv3p_tpu.losses import get_loss_fn
     from deeplabv3p_tpu.models.factory import build_deeplab_model
     from deeplabv3p_tpu.parallel.mesh import make_mesh
@@ -197,6 +198,7 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
     trainer = Trainer(
         model, num_classes, get_loss_fn("crossentropy"), mesh=mesh,
         log_dir=tempfile.mkdtemp(prefix="bench_logs_"),
+        fused_loss=fused_loss,
     )
     stage = StageConfig(freeze_level=0, optim_type="sgd", learning_rate=1e-3,
                         decay_type="cosine", decay_steps=1000)

@@ -57,6 +57,17 @@ def jaccard(y_true: jax.Array, y_pred_logits: jax.Array) -> jax.Array:
         "bnc,bnd->bcd", oh_gt, oh_pred,
         preferred_element_type=jnp.float32,
     )  # (B, C+2, C): rows = GT bins, cols = predicted class
+    return jaccard_from_sample_cm(cm)
+
+
+def jaccard_from_sample_cm(cm: jax.Array) -> jax.Array:
+    """jaccard's reduction from per-sample (C+2, C) confusion matrices
+    (rows: GT classes 0..C-1, literal C, other-out-of-range; cols:
+    predicted class). Producers: the einsum above, or the fused
+    upsample+CE Pallas kernel (ops/pallas/upsample_ce.py) whose
+    confusion output uses this exact bin layout."""
+    n = cm.shape[0]
+    ncls = cm.shape[-1]
     zero = jnp.zeros((n, 1), jnp.float32)
     inter = jnp.concatenate(
         [jnp.diagonal(cm[:, :ncls, :], axis1=1, axis2=2), zero], axis=1

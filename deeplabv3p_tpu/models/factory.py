@@ -58,7 +58,11 @@ class DeeplabV3Plus(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, freeze_level: int = 0
+        self,
+        x: jax.Array,
+        train: bool = False,
+        freeze_level: int = 0,
+        skip_final_resize: bool = False,
     ) -> jax.Array:
         """Forward pass.
 
@@ -67,6 +71,13 @@ class DeeplabV3Plus(nn.Module):
         layers' BatchNorms run in *inference* mode (use running stats, do
         not update them), exactly like TF2 BN with trainable=False.
         freeze_level 1 freezes the backbone; 2 freezes all but the head.
+
+        skip_final_resize returns the fp32 logits at FEATURE resolution,
+        omitting the final bilinear upsample — the contract of the fused
+        upsample+CE loss tail (ops/pallas/upsample_ce.py), which performs
+        the identical resize inside its kernel so full-resolution logits
+        never touch HBM. Only valid for the conv head (the subpixel head
+        has no final resize to skip).
         """
         in_h, in_w = x.shape[1], x.shape[2]
         if self.dtype is not None:
@@ -114,6 +125,11 @@ class DeeplabV3Plus(nn.Module):
             )(feat, skip, train=head_train)
 
         if self.use_subpixel:
+            if skip_final_resize:
+                raise ValueError(
+                    "skip_final_resize is incompatible with the subpixel "
+                    "head (its upsample is the PixelShuffle itself)"
+                )
             # Reference hardcodes scale 4 (xception) / 8 (model.py:68-73);
             # we derive it from the actual feature resolution so every
             # backbone/OS combination is shape-correct. Scope name
@@ -131,9 +147,11 @@ class DeeplabV3Plus(nn.Module):
                 self.num_classes, 1, use_bias=True, name="conv_upsample",
                 dtype=self.dtype,
             )(feat)
-            # pred_resize (reference model.py:76): bilinear to input size,
-            # in fp32 for numerically stable loss/softmax.
-            logits = resize_bilinear(logits.astype(jnp.float32), (in_h, in_w))
+            logits = logits.astype(jnp.float32)
+            if not skip_final_resize:
+                # pred_resize (reference model.py:76): bilinear to input
+                # size, in fp32 for numerically stable loss/softmax.
+                logits = resize_bilinear(logits, (in_h, in_w))
         return logits
 
 

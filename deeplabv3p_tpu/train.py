@@ -79,6 +79,9 @@ def make_train_step(
     l2_factor: float = 2e-5,  # layers.L2_FACTOR (reference layers.py:12)
     average_type: Optional[str] = None,
     compute_metric: bool = True,
+    fused_loss: bool = False,
+    fused_class_weights=None,
+    fused_interpret: bool = False,
 ):
     """Build the jitted train step. The returned fn has signature
     (state, images, labels, weights, lr_scale) -> (state, metrics_dict).
@@ -86,28 +89,53 @@ def make_train_step(
     lr_scale implements ReduceLROnPlateau (reference train.py:60): it
     multiplies the optimizer's update (i.e. scales the scheduled LR)
     without rebuilding the optimizer.
+
+    fused_loss replaces the model's final bilinear upsample + `loss_fn` +
+    the jaccard metric with the single Pallas loss tail
+    (ops/pallas/upsample_ce.py): full-resolution logits never reach HBM,
+    and the train metric falls out of the kernel's confusion output for
+    free. Semantics are CE / class-weighted CE with ignore-index — the
+    caller must only enable it for those losses (root train.py gates it).
+    Requires a DeepLab conv-head model (`skip_final_resize` support).
     """
+    if fused_loss:
+        from deeplabv3p_tpu.ops.pallas.upsample_ce import fused_upsample_ce
 
     def step_fn(state: TrainState, images, labels, weights, lr_scale):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_of(params):
-            logits, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                freeze_level=freeze_level,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
-            )
-            per_px = loss_fn(labels, logits)
+            variables = {"params": params, "batch_stats": state.batch_stats}
             sw = weights if use_sample_weights else None
-            loss = losses_lib.reduce_loss(per_px, sw)
+            if fused_loss:
+                logits_lr, updates = model.apply(
+                    variables, images, train=True,
+                    freeze_level=freeze_level, skip_final_resize=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                loss_sum, cm = fused_upsample_ce(
+                    logits_lr, labels, labels.shape[1:3],
+                    sample_weights=sw,
+                    class_weights=fused_class_weights,
+                    interpret=fused_interpret,
+                )
+                # reduce_loss's Keras mean-over-all-pixels
+                loss = loss_sum / labels.size
+                metric_aux = cm
+            else:
+                logits, updates = model.apply(
+                    variables, images, train=True,
+                    freeze_level=freeze_level,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                per_px = loss_fn(labels, logits)
+                loss = losses_lib.reduce_loss(per_px, sw)
+                metric_aux = logits
             if l2_factor:
                 loss = loss + losses_lib.l2_penalty(params, l2_factor)
-            return loss, (updates["batch_stats"], logits)
+            return loss, (updates["batch_stats"], metric_aux)
 
-        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+        (loss, (new_stats, metric_aux)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
 
@@ -120,7 +148,11 @@ def make_train_step(
 
         out = {"loss": loss}
         if compute_metric:
-            out["jaccard"] = metrics_lib.jaccard(labels, logits)
+            out["jaccard"] = (
+                metrics_lib.jaccard_from_sample_cm(metric_aux)
+                if fused_loss
+                else metrics_lib.jaccard(labels, metric_aux)
+            )
         new_state = TrainState(
             step=state.step + 1,
             params=params,
@@ -274,11 +306,15 @@ class Trainer:
         mesh=None,
         log_dir: str = "logs/000",
         seed: int = 0,
+        fused_loss: bool = False,
+        fused_class_weights=None,
     ):
         self.model = model
         self.num_classes = num_classes
         self.loss_fn = loss_fn
         self.use_sample_weights = use_sample_weights
+        self.fused_loss = fused_loss
+        self.fused_class_weights = fused_class_weights
         # reference attaches L2 only to its conv wrappers; UNet models
         # have none (unet/models/unet.py uses plain Conv2D) — pass 0.0
         self.l2_factor = l2_factor
@@ -340,6 +376,12 @@ class Trainer:
         lr_scale); the per-step augmentation key is derived inside as
         fold_in(aug_key, state.step), so the host never splits keys.
         """
+        if self.fused_loss and self.mesh.size > 1:
+            # the Pallas loss tail is a custom call GSPMD cannot partition;
+            # multi-device meshes keep the XLA loss path (still one program)
+            raise ValueError(
+                "fused_loss currently supports single-device meshes only"
+            )
         step = make_train_step(
             self.model,
             tx,
@@ -348,6 +390,10 @@ class Trainer:
             use_sample_weights=self.use_sample_weights,
             l2_factor=self.l2_factor,
             average_type=stage.average_type,
+            fused_loss=self.fused_loss,
+            fused_class_weights=self.fused_class_weights,
+            fused_interpret=self.mesh.devices.flat[0].platform
+            not in ("tpu", "axon"),
         )
         if augment_fn is None:
             fn = step

@@ -152,12 +152,30 @@ def main(args):
         print("caching the train set into device memory ...")
         train_ds = DeviceCachedDataset.from_source(train_ds, mesh=mesh)
 
+    if args.fused_loss:
+        # the Pallas loss tail implements (class-weighted) CE + ignore
+        # semantics for DeepLab conv-head models on a single device
+        from deeplabv3p_tpu.models.factory import DEEPLAB_MODEL_REGISTRY
+
+        if args.loss != "crossentropy":
+            raise SystemExit("--fused_loss supports --loss crossentropy only")
+        if args.model_type not in DEEPLAB_MODEL_REGISTRY:
+            raise SystemExit(
+                "--fused_loss requires a DeepLab conv-head model"
+            )
+        if mesh.size > 1:
+            raise SystemExit("--fused_loss supports a single device only")
+
     trainer = Trainer(
         model, num_classes, loss_fn,
         use_sample_weights=(args.weighted_type == "adaptive"),
         # UNet family carries no conv regularizers in the reference
         l2_factor=0.0 if args.model_type.startswith("unet") else 2e-5,
         mesh=mesh, log_dir=args.log_dir,
+        fused_loss=args.fused_loss,
+        fused_class_weights=(
+            class_weights if args.weighted_type == "balanced" else None
+        ),
     )
 
     steps_per_epoch = max(1, len(train_ds))
@@ -302,6 +320,9 @@ def parse_args():
                    help="disable the stochastic augmentation ops "
                         "(normalization/adaptive weights still apply)")
     p.add_argument("--mixed_precision", action="store_true", default=True)
+    p.add_argument("--fused_loss", action="store_true",
+                   help="fuse upsample+CE+metric into one Pallas kernel "
+                        "(DeepLab conv-head models, CE loss, single device)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (OS8 memory)")
     p.add_argument("--log_dir", default="logs/000")
