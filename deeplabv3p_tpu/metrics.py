@@ -34,10 +34,22 @@ def jaccard(y_true: jax.Array, y_pred_logits: jax.Array) -> jax.Array:
     IoU, averaged over samples whose GT contains the class, then averaged
     over classes that produced a non-NaN value.
     """
-    num_classes = y_pred_logits.shape[-1]
+    return jaccard_from_preds(
+        y_true, jnp.argmax(y_pred_logits, axis=-1),
+        y_pred_logits.shape[-1],
+    )
+
+
+def jaccard_from_preds(
+    y_true: jax.Array, preds: jax.Array, num_classes: int
+) -> jax.Array:
+    """jaccard from precomputed argmax predictions — the entry point for
+    producers that already hold int preds (e.g. the fused upsample+CE
+    Pallas kernel, ops/pallas/upsample_ce.py, whose argmax ties break
+    lowest-index like jnp.argmax)."""
     n = y_true.shape[0]
     labels = y_true.reshape(n, -1).astype(jnp.int32)
-    preds = jnp.argmax(y_pred_logits, axis=-1).reshape(n, -1).astype(jnp.int32)
+    preds = preds.reshape(n, -1).astype(jnp.int32)
 
     # One per-sample confusion matrix via batched one-hot matmul (MXU)
     # instead of a python loop of per-class masked reductions — the loop
@@ -63,9 +75,7 @@ def jaccard(y_true: jax.Array, y_pred_logits: jax.Array) -> jax.Array:
 def jaccard_from_sample_cm(cm: jax.Array) -> jax.Array:
     """jaccard's reduction from per-sample (C+2, C) confusion matrices
     (rows: GT classes 0..C-1, literal C, other-out-of-range; cols:
-    predicted class). Producers: the einsum above, or the fused
-    upsample+CE Pallas kernel (ops/pallas/upsample_ce.py) whose
-    confusion output uses this exact bin layout."""
+    predicted class) as produced by the einsum above."""
     n = cm.shape[0]
     ncls = cm.shape[-1]
     zero = jnp.zeros((n, 1), jnp.float32)

@@ -22,10 +22,14 @@ row-tile) grid step it holds the WHOLE low-res logits slab in VMEM
              (losses.py:33-71 semantics), optional static class weights
              (weighted CE, losses.py:74-90) and per-pixel sample
              weights (adaptive maps);
-  confusion  lowest-index argmax + one-hot dot_general accumulating the
-             per-sample (C+2, C) matrix of metrics.jaccard — the train
-             metric falls out free, so nothing downstream needs
-             full-res logits either.
+  argmax     lowest-index argmax per pixel, written as (B, H, W) int32
+             preds — 21x smaller than the logits. The train jaccard is
+             then metrics.jaccard_from_preds outside the kernel (a one-
+             hot matmul over int preds, measured ~free), so nothing
+             downstream needs full-res logits either. (The confusion
+             matrix itself is NOT accumulated in-kernel: its pixel
+             contraction spans the (row, column) tile dims and Mosaic's
+             tpu.matmul supports a single contracting dim only.)
 
 Backward (custom VJP, same tiling): d_logits_lr = R_h^T [(softmax(up) -
 onehot) * w_px * g] R_w, recomputing the upsampled tile in VMEM. HBM
@@ -102,7 +106,7 @@ def _pixel_weight(labels, t_oh, cw_ref, sw, c):
 
 
 def _fwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
-                loss_ref, cm_ref, *, c: int):
+                loss_ref, pred_ref, *, c: int):
     bi, ti = pl.program_id(0), pl.program_id(1)
     z = _upsample_tile(logits_ref[0], rh_ref[...], rw_ref[...], c)
     th, _, wo = z.shape
@@ -117,31 +121,16 @@ def _fwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
     w_px, validv = _pixel_weight(labels, t_oh, cw_ref, sw, c)
     tile_loss = jnp.sum(jnp.where(validv, lse - zl, 0.0) * w_px)
 
+    # full-(1,1)-block stores: Mosaic cannot store scalars to VMEM
     @pl.when((bi == 0) & (ti == 0))
     def _init_loss():
-        loss_ref[0, 0] = 0.0
+        loss_ref[...] = jnp.zeros((1, 1), jnp.float32)
 
-    loss_ref[0, 0] += tile_loss
+    loss_ref[...] = loss_ref[...] + tile_loss
 
-    # confusion rows = GT bins (0..C-1, literal C, other-out-of-range),
-    # cols = predicted class — metrics.jaccard's (C+2, C) layout
+    # lowest-index argmax (jnp.argmax tie semantics)
     is_max = z >= m
-    pred = jnp.min(jnp.where(is_max, iota_c, c), axis=1)  # lowest argmax
-    gtb = jnp.where((labels >= 0) & (labels <= c), labels, c + 1)
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (c + 2, th, wo), 0)
-    og = (gtb[None] == iota_g).astype(jnp.float32)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (c, th, wo), 0)
-    op = (pred[None] == iota_p).astype(jnp.float32)
-    cm_d = jax.lax.dot_general(
-        og, op, (((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (C+2, C)
-
-    @pl.when(ti == 0)
-    def _init_cm():
-        cm_ref[0] = jnp.zeros_like(cm_ref[0])
-
-    cm_ref[0] += cm_d
+    pred_ref[0] = jnp.min(jnp.where(is_max, iota_c, c), axis=1)
 
 
 def _bwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
@@ -159,7 +148,8 @@ def _bwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (th, c, wo), 1)
     t_oh = labels[:, None, :] == iota_c
     w_px, _ = _pixel_weight(labels, t_oh, cw_ref, sw, c)
-    coeff = (p - t_oh.astype(jnp.float32)) * (w_px * g_ref[0, 0])[:, None, :]
+    g = g_ref[...][0, 0]  # full-block load, then index the value
+    coeff = (p - t_oh.astype(jnp.float32)) * (w_px * g)[:, None, :]
     # transpose-resize back to low-res: contract W then TH
     d_a = jax.lax.dot_general(
         coeff, rw, (((2,), (0,)), ((), ())),
@@ -203,26 +193,26 @@ def _fused_fwd(logits_lr, labels, sw, cw, out_hw, tile_h, interpret):
     n_tiles = ho // th
     rh = jnp.asarray(interp_matrix(ho, h))
     rw = jnp.asarray(interp_matrix(wo, w))
-    loss, cm = pl.pallas_call(
+    loss, preds = pl.pallas_call(
         partial(_fwd_kernel, c=c),
         grid=(b, n_tiles),
         in_specs=_common_specs(b, h, w, c, th, wo, n_tiles),
         out_specs=[
             pl.BlockSpec((1, 1), lambda i, t: (0, 0)),
-            pl.BlockSpec((1, c + 2, c), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, th, wo), lambda i, t: (i, t, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, c + 2, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, ho, wo), jnp.int32),
         ],
         interpret=interpret,
     )(logits_lr, labels, sw, cw, rh, rw)
-    return (loss[0, 0], cm), (logits_lr, labels, sw, cw)
+    return (loss[0, 0], preds), (logits_lr, labels, sw, cw)
 
 
 def _fused_bwd(out_hw, tile_h, interpret, res, cts):
     logits_lr, labels, sw, cw = res
-    g_loss, _g_cm = cts  # confusion output is a metric, not differentiated
+    g_loss, _g_preds = cts  # preds output is a metric, not differentiated
     b, h, w, c = logits_lr.shape
     ho, wo = out_hw
     th = tile_h
@@ -258,14 +248,15 @@ def fused_upsample_ce(
     tile_h: Optional[int] = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused loss tail. Returns (loss_sum, cm):
+    """Fused loss tail. Returns (loss_sum, preds):
 
     loss_sum: scalar SUM over pixels of CE(resize_bilinear(logits_lr,
         out_hw)) * class_weight[label] * sample_weight, ignore/out-of-
         range labels contributing 0 — divide by labels.size for
         losses.reduce_loss's mean.
-    cm: (B, C+2, C) per-sample confusion of the upsampled argmax in
-        metrics.jaccard's bin layout (feed jaccard_from_sample_cm).
+    preds: (B, H, W) int32 argmax of the upsampled logits (lowest index
+        on ties, like jnp.argmax) — feed metrics.jaccard_from_preds for
+        the train metric.
     """
     b, h, w, c = logits_lr.shape
     ho, wo = out_hw
@@ -293,7 +284,7 @@ def upsample_ce_reference(
     logits_lr, labels, out_hw, sample_weights=None, class_weights=None
 ):
     """XLA oracle with identical semantics (resize + losses.py CE +
-    metrics.jaccard confusion) — the path the kernel replaces."""
+    argmax preds) — the path the kernel replaces."""
     from deeplabv3p_tpu import losses as losses_lib
     from deeplabv3p_tpu.ops.resize import resize_bilinear
 
@@ -307,13 +298,5 @@ def upsample_ce_reference(
     if sample_weights is not None:
         per_px = per_px * sample_weights
     loss_sum = jnp.sum(per_px)
-    c = logits_lr.shape[-1]
-    n = labels.shape[0]
-    lab = labels.reshape(n, -1).astype(jnp.int32)
-    preds = jnp.argmax(logits, axis=-1).reshape(n, -1)
-    gtb = jnp.where((lab >= 0) & (lab <= c), lab, c + 1)
-    oh_gt = jax.nn.one_hot(gtb, c + 2, dtype=jnp.float32)
-    oh_pred = jax.nn.one_hot(preds, c, dtype=jnp.float32)
-    cm = jnp.einsum("bnc,bnd->bcd", oh_gt, oh_pred,
-                    preferred_element_type=jnp.float32)
-    return loss_sum, cm
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return loss_sum, preds

@@ -113,7 +113,7 @@ def make_train_step(
                     freeze_level=freeze_level, skip_final_resize=True,
                     rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
-                loss_sum, cm = fused_upsample_ce(
+                loss_sum, preds = fused_upsample_ce(
                     logits_lr, labels, labels.shape[1:3],
                     sample_weights=sw,
                     class_weights=fused_class_weights,
@@ -121,7 +121,7 @@ def make_train_step(
                 )
                 # reduce_loss's Keras mean-over-all-pixels
                 loss = loss_sum / labels.size
-                metric_aux = cm
+                metric_aux = preds
             else:
                 logits, updates = model.apply(
                     variables, images, train=True,
@@ -149,7 +149,9 @@ def make_train_step(
         out = {"loss": loss}
         if compute_metric:
             out["jaccard"] = (
-                metrics_lib.jaccard_from_sample_cm(metric_aux)
+                metrics_lib.jaccard_from_preds(
+                    labels, metric_aux, model.num_classes
+                )
                 if fused_loss
                 else metrics_lib.jaccard(labels, metric_aux)
             )

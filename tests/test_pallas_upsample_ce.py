@@ -57,27 +57,27 @@ def test_forward_matches_reference(weighted, sampled):
           if weighted else None)
     sw = (jnp.asarray(rng.uniform(0.0, 2.0, (2, *out_hw)).astype(np.float32))
           if sampled else None)
-    loss, cm = fused_upsample_ce(
+    loss, preds = fused_upsample_ce(
         logits, labels, out_hw, sample_weights=sw, class_weights=cw,
         interpret=True,
     )
-    ref_loss, ref_cm = upsample_ce_reference(
+    ref_loss, ref_preds = upsample_ce_reference(
         logits, labels, out_hw, sample_weights=sw, class_weights=cw
     )
     np.testing.assert_allclose(float(loss), float(ref_loss),
                                rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(cm), np.asarray(ref_cm), atol=0)
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
 
 
-def test_jaccard_from_kernel_cm_matches_metric():
+def test_jaccard_from_kernel_preds_matches_metric():
     from deeplabv3p_tpu import metrics as metrics_lib
     from deeplabv3p_tpu.ops.resize import resize_bilinear
 
     logits, labels, out_hw = _case(seed=7)
-    _, cm = fused_upsample_ce(logits, labels, out_hw, interpret=True)
+    _, preds = fused_upsample_ce(logits, labels, out_hw, interpret=True)
     full = resize_bilinear(logits.astype(jnp.float32), out_hw)
     expect = metrics_lib.jaccard(labels, full)
-    got = metrics_lib.jaccard_from_sample_cm(cm)
+    got = metrics_lib.jaccard_from_preds(labels, preds, logits.shape[-1])
     np.testing.assert_allclose(float(got), float(expect), rtol=1e-6)
 
 
@@ -111,11 +111,11 @@ def test_gradient_matches_reference(weighted):
 def test_uneven_tile_and_os8_shape():
     # OS8-like: 8x upsample, tile picked automatically
     logits, labels, out_hw = _case(b=1, h=6, w=6, c=3, scale=8, seed=9)
-    loss, cm = fused_upsample_ce(logits, labels, out_hw, interpret=True)
-    ref_loss, ref_cm = upsample_ce_reference(logits, labels, out_hw)
+    loss, preds = fused_upsample_ce(logits, labels, out_hw, interpret=True)
+    ref_loss, ref_preds = upsample_ce_reference(logits, labels, out_hw)
     np.testing.assert_allclose(float(loss), float(ref_loss),
                                rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(cm), np.asarray(ref_cm), atol=0)
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
 
 
 @pytest.mark.parametrize("weighted", [False, True])
