@@ -36,6 +36,14 @@ onehot) * w_px * g] R_w, recomputing the upsampled tile in VMEM. HBM
 traffic per step drops from ~1 GB to ~70 MB (labels + weights + low-res
 logits), i.e. the whole loss+metric tail rides VMEM.
 
+TPU status: interpret-mode parity is pinned by tests; on real TPU the
+current formulation still trips Mosaic layout inference — the
+(h, w, c)->(h, w*c) reshape feeding the first upsample matmul merges
+the lane dim ("infer-vector-layout: unsupported shape cast"). The
+Mosaic-clean reformulation (logits passed (B, C, h, w); per-class 2-D
+matmuls with ONLINE logsumexp/argmax across the class loop — no
+reshapes, no >2-D contractions) is the planned fix.
+
 Off-TPU the kernel runs under interpret=True (CPU-mesh tests).
 Gradients w.r.t. labels/sample/class weights are NOT provided (zeros) —
 this is a train-loss kernel, only the logits path is differentiated.
