@@ -1,4 +1,4 @@
-"""Fused bilinear-upsample + cross-entropy + confusion train-loss tail.
+"""Fused bilinear-upsample + cross-entropy + argmax train-loss tail.
 
 THE train step's HBM hot spot (measured, tools/evaluation/
 train_phase_profile.py on v5e): every DeepLab family upsamples its
@@ -10,39 +10,52 @@ before the resize-transpose reduces it back to OS8. Attaching the loss
 to the forward costs +3.2 ms at 88.6% of HBM peak — pure bandwidth, no
 math.
 
-This kernel never materializes full resolution in HBM. Per (batch,
-row-tile) grid step it holds the WHOLE low-res logits slab in VMEM
-(<=1.4 MB even at OS4) and:
+This kernel never materializes full resolution in HBM. Logits enter
+CLASS-MAJOR (B, C, h, w) — every in-kernel value is then a plain 2-D
+(sublane, lane) vector and every contraction a plain 2-D matmul, the
+only shapes Mosaic lowers without layout repacks (lane-merging reshapes
+like (h, w, C)->(h, w*C) fail infer-vector-layout; >2-D dot_generals
+are unsupported). Per (batch, row-tile) grid step the WHOLE low-res
+slab stays in VMEM (<=1.4 MB even at OS4) and a static loop over the C
+classes computes, per class k:
 
-  upsample   two small MXU matmuls against precomputed half-pixel
-             interpolation matrices R_h (TH, h), R_w (W, w) — bilinear
-             upsample IS a separable linear map, exactly
+  upsample   two MXU matmuls against precomputed half-pixel
+             interpolation matrices: (TH,h)@(h,w) then (TH,w)@(w,W) —
+             bilinear upsample IS a separable linear map, exactly
              ops/resize.resize_bilinear (verified to 1e-5 in tests);
-  CE         logsumexp - target logit per pixel, ignore/UNK labels zero
-             (losses.py:33-71 semantics), optional static class weights
-             (weighted CE, losses.py:74-90) and per-pixel sample
-             weights (adaptive maps);
-  argmax     lowest-index argmax per pixel, written as (B, H, W) int32
-             preds — 21x smaller than the logits. The train jaccard is
-             then metrics.jaccard_from_preds outside the kernel (a one-
-             hot matmul over int preds, measured ~free), so nothing
-             downstream needs full-res logits either. (The confusion
-             matrix itself is NOT accumulated in-kernel: its pixel
-             contraction spans the (row, column) tile dims and Mosaic's
-             tpu.matmul supports a single contracting dim only.)
+  CE         ONLINE logsumexp across the class loop (running max +
+             rescaled sum), target-logit pick via labels==k masks —
+             losses.py:33-71 semantics with ignore/out-of-range labels
+             contributing 0;
+  argmax     running strict-greater argmax (lowest index on ties, like
+             jnp.argmax), written as (B, H, W) int32 preds — 21x
+             smaller than logits; the train jaccard is then
+             metrics.jaccard_from_preds outside (a one-hot matmul over
+             int preds, measured ~free).
 
-Backward (custom VJP, same tiling): d_logits_lr = R_h^T [(softmax(up) -
-onehot) * w_px * g] R_w, recomputing the upsampled tile in VMEM. HBM
-traffic per step drops from ~1 GB to ~70 MB (labels + weights + low-res
-logits), i.e. the whole loss+metric tail rides VMEM.
+Class weights and sample weights fold into ONE per-pixel weight map on
+the XLA side (w_px = valid * class_weight[label] * sample_weight), so
+the kernel takes no scalar operands; the scalar loss accumulates into a
+full-(1,1)-block VMEM store (Mosaic rejects scalar VMEM stores).
 
-TPU status: interpret-mode parity is pinned by tests; on real TPU the
-current formulation still trips Mosaic layout inference — the
-(h, w, c)->(h, w*c) reshape feeding the first upsample matmul merges
-the lane dim ("infer-vector-layout: unsupported shape cast"). The
-Mosaic-clean reformulation (logits passed (B, C, h, w); per-class 2-D
-matmuls with ONLINE logsumexp/argmax across the class loop — no
-reshapes, no >2-D contractions) is the planned fix.
+Backward (custom VJP, same tiling): a first class pass recomputes the
+online logsumexp, a second emits d_lr[k] = R_h^T [(softmax_k - 1[l=k])
+* w_px] R_w per class — all 2-D matmuls; the loss cotangent g scales
+the small (B, C, h, w) grad OUTSIDE the kernel. HBM traffic per step
+drops from ~1 GB to ~70 MB (labels + weights + low-res logits), i.e.
+the whole loss+metric tail rides VMEM.
+
+Measured (v5e single chip, 512px, honest scan-fetch timing,
+bench.bench_train_throughput(fused_loss=True)):
+  mnv2-lite b16  35.01 ms/step (457 img/s) vs 35.95 unfused (445) — +2.7%
+  xception  b8   52.40 ms/step (152.7)    vs 52.22 unfused (153.2) — parity
+The end-to-end win is smaller than the phase profile's +3.2 ms
+loss-tail cost because XLA already fuses part of the tail into the
+resize; the kernel's remaining value is the ~280 MB/step HBM traffic it
+removes and the full-res-logits-free memory profile. Caveat: the
+21-class unrolled Mosaic module compiles slowly (~20 min through the
+tunnel's remote-compile helper vs ~4 min unfused), which is why the
+driver bench does not carry a fused train entry by default.
 
 Off-TPU the kernel runs under interpret=True (CPU-mesh tests).
 Gradients w.r.t. labels/sample/class weights are NOT provided (zeros) —
@@ -88,46 +101,45 @@ def _pick_tile(h_out: int, cap: int = 32) -> int:
     return best
 
 
-def _upsample_tile(z_lr, rh, rw, c):
-    """(h, w, C), (TH, h), (W, w) -> (TH, C, W) f32 upsampled logits."""
-    h, w = z_lr.shape[0], z_lr.shape[1]
-    a = jax.lax.dot_general(
-        rh, z_lr.reshape(h, w * c), (((1,), (0,)), ((), ())),
+def _upsample_class(zk, rh_t, rw_t):
+    """(h, w), (TH, h), (w, W) -> (TH, W) upsampled class-k logits."""
+    ak = jax.lax.dot_general(
+        rh_t, zk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TH, w*C)
-    a = a.reshape(rh.shape[0], w, c)
+    )  # (TH, w)
     return jax.lax.dot_general(
-        a, rw, (((1,), (1,)), ((), ())),
+        ak, rw_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TH, C, W)
+    )  # (TH, W)
 
 
-def _pixel_weight(labels, t_oh, cw_ref, sw, c):
-    """Per-pixel loss weight: class_weight[label] * sample_weight for
-    valid labels (0 <= l < C), 0 otherwise — exactly losses.py's
-    one_hot-zero + ignore-mask semantics folded into one factor."""
-    validv = (labels >= 0) & (labels < c)
-    cwpx = jnp.sum(
-        jnp.where(t_oh, cw_ref[...].reshape(1, c, 1), 0.0), axis=1
-    )  # (TH, W); 0 when no one-hot row
-    return jnp.where(validv, cwpx * sw, 0.0), validv
-
-
-def _fwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
+def _fwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref,
                 loss_ref, pred_ref, *, c: int):
     bi, ti = pl.program_id(0), pl.program_id(1)
-    z = _upsample_tile(logits_ref[0], rh_ref[...], rw_ref[...], c)
-    th, _, wo = z.shape
+    rh_t = rh_ref[...]  # (TH, h)
+    rw_t = rwt_ref[...]  # (w, W)
     labels = labels_ref[0]  # (TH, W) int32
-    sw = sw_ref[0]  # (TH, W) f32
+    wpx = wpx_ref[0]  # (TH, W) f32, 0 at ignore/out-of-range pixels
+    th, wo = labels.shape
 
-    m = jnp.max(z, axis=1, keepdims=True)  # (TH, 1, W)
-    lse = jnp.log(jnp.sum(jnp.exp(z - m), axis=1)) + m[:, 0, :]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (th, c, wo), 1)
-    t_oh = labels[:, None, :] == iota_c
-    zl = jnp.sum(jnp.where(t_oh, z, 0.0), axis=1)  # target logit
-    w_px, validv = _pixel_weight(labels, t_oh, cw_ref, sw, c)
-    tile_loss = jnp.sum(jnp.where(validv, lse - zl, 0.0) * w_px)
+    # online logsumexp + lowest-index argmax + target-logit pick over
+    # the static class loop — every carry is a 2-D (TH, W) vector
+    m = jnp.full((th, wo), -jnp.inf, jnp.float32)
+    s = jnp.zeros((th, wo), jnp.float32)
+    zl = jnp.zeros((th, wo), jnp.float32)
+    best = jnp.zeros((th, wo), jnp.int32)
+    for k in range(c):
+        zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
+        upd = zu > m  # strict: ties keep the lower class index
+        best = jnp.where(upd, k, best)
+        m_new = jnp.where(upd, zu, m)
+        s = s * jnp.exp(m - m_new) + jnp.exp(zu - m_new)
+        m = m_new
+        zl = zl + jnp.where(labels == k, zu, 0.0)
+
+    lse = jnp.log(s) + m
+    # wpx is already 0 at invalid pixels (zl stays 0 there, lse finite)
+    tile_loss = jnp.sum((lse - zl) * wpx)
 
     # full-(1,1)-block stores: Mosaic cannot store scalars to VMEM
     @pl.when((bi == 0) & (ti == 0))
@@ -135,76 +147,78 @@ def _fwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
         loss_ref[...] = jnp.zeros((1, 1), jnp.float32)
 
     loss_ref[...] = loss_ref[...] + tile_loss
-
-    # lowest-index argmax (jnp.argmax tie semantics)
-    is_max = z >= m
-    pred_ref[0] = jnp.min(jnp.where(is_max, iota_c, c), axis=1)
+    pred_ref[0] = best
 
 
-def _bwd_kernel(logits_ref, labels_ref, sw_ref, cw_ref, rh_ref, rw_ref,
-                g_ref, dlr_ref, *, c: int):
+def _bwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref, rw_ref,
+                dlr_ref, *, c: int):
     ti = pl.program_id(1)
-    rh, rw = rh_ref[...], rw_ref[...]
-    z = _upsample_tile(logits_ref[0], rh, rw, c)
-    th, _, wo = z.shape
+    rh_t = rh_ref[...]  # (TH, h)
+    rw_t = rwt_ref[...]  # (w, W)
+    rw = rw_ref[...]  # (W, w)
     labels = labels_ref[0]
-    sw = sw_ref[0]
+    wpx = wpx_ref[0]
+    th, wo = labels.shape
 
-    m = jnp.max(z, axis=1, keepdims=True)
-    e = jnp.exp(z - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)  # softmax (TH, C, W)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (th, c, wo), 1)
-    t_oh = labels[:, None, :] == iota_c
-    w_px, _ = _pixel_weight(labels, t_oh, cw_ref, sw, c)
-    g = g_ref[...][0, 0]  # full-block load, then index the value
-    coeff = (p - t_oh.astype(jnp.float32)) * (w_px * g)[:, None, :]
-    # transpose-resize back to low-res: contract W then TH
-    d_a = jax.lax.dot_general(
-        coeff, rw, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TH, C, w)
-    d_lr = jax.lax.dot_general(
-        rh, d_a, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (h, C, w)
-    d_lr = jnp.transpose(d_lr, (0, 2, 1))  # (h, w, C)
+    # pass 1: recompute the online logsumexp
+    m = jnp.full((th, wo), -jnp.inf, jnp.float32)
+    s = jnp.zeros((th, wo), jnp.float32)
+    for k in range(c):
+        zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
+        m_new = jnp.maximum(m, zu)
+        s = s * jnp.exp(m - m_new) + jnp.exp(zu - m_new)
+        m = m_new
+    lse = jnp.log(s) + m
 
     @pl.when(ti == 0)
     def _init():
         dlr_ref[0] = jnp.zeros_like(dlr_ref[0])
 
-    dlr_ref[0] += d_lr
+    # pass 2: d_lr[k] = R_h^T [(softmax_k - 1[l=k]) * w_px] R_w
+    # (the loss cotangent g scales the result OUTSIDE the kernel)
+    for k in range(c):
+        zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
+        pk = jnp.exp(zu - lse)
+        t_k = (labels == k).astype(jnp.float32)
+        coeff = (pk - t_k) * wpx  # (TH, W)
+        d_a = jax.lax.dot_general(
+            coeff, rw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TH, w)
+        d_k = jax.lax.dot_general(
+            rh_t, d_a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (h, w)
+        dlr_ref[0, k] += d_k
 
 
-def _common_specs(b, h, w, c, th, wo, n_tiles):
+def _common_specs(cc, h, w, th, wo):
     return [
-        # low-res logits: resident across the batch item's row tiles
-        pl.BlockSpec((1, h, w, c), lambda i, t: (i, 0, 0, 0)),
+        # class-major low-res logits: resident across a batch item's tiles
+        pl.BlockSpec((1, cc, h, w), lambda i, t: (i, 0, 0, 0)),
         pl.BlockSpec((1, th, wo), lambda i, t: (i, t, 0)),  # labels
-        pl.BlockSpec((1, th, wo), lambda i, t: (i, t, 0)),  # sample w
-        pl.BlockSpec((1, c), lambda i, t: (0, 0)),  # class w
+        pl.BlockSpec((1, th, wo), lambda i, t: (i, t, 0)),  # pixel w
         pl.BlockSpec((th, h), lambda i, t: (t, 0)),  # R_h row tile
-        pl.BlockSpec((wo, w), lambda i, t: (0, 0)),  # R_w
+        pl.BlockSpec((w, wo), lambda i, t: (0, 0)),  # R_w^T
     ]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused(logits_lr, labels, sw, cw, out_hw, tile_h, interpret):
-    out, _ = _fused_fwd(logits_lr, labels, sw, cw, out_hw, tile_h, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused(z_cf, labels, wpx, out_hw, tile_h, interpret):
+    out, _ = _fused_fwd(z_cf, labels, wpx, out_hw, tile_h, interpret)
     return out
 
 
-def _fused_fwd(logits_lr, labels, sw, cw, out_hw, tile_h, interpret):
-    b, h, w, c = logits_lr.shape
+def _fused_fwd(z_cf, labels, wpx, out_hw, tile_h, interpret):
+    b, cc, h, w = z_cf.shape
     ho, wo = out_hw
     th = tile_h
-    n_tiles = ho // th
     rh = jnp.asarray(interp_matrix(ho, h))
-    rw = jnp.asarray(interp_matrix(wo, w))
+    rw_t = jnp.asarray(interp_matrix(wo, w).T)
     loss, preds = pl.pallas_call(
-        partial(_fwd_kernel, c=c),
-        grid=(b, n_tiles),
-        in_specs=_common_specs(b, h, w, c, th, wo, n_tiles),
+        partial(_fwd_kernel, c=cc),
+        grid=(b, ho // th),
+        in_specs=_common_specs(cc, h, w, th, wo),
         out_specs=[
             pl.BlockSpec((1, 1), lambda i, t: (0, 0)),
             pl.BlockSpec((1, th, wo), lambda i, t: (i, t, 0)),
@@ -214,33 +228,33 @@ def _fused_fwd(logits_lr, labels, sw, cw, out_hw, tile_h, interpret):
             jax.ShapeDtypeStruct((b, ho, wo), jnp.int32),
         ],
         interpret=interpret,
-    )(logits_lr, labels, sw, cw, rh, rw)
-    return (loss[0, 0], preds), (logits_lr, labels, sw, cw)
+    )(z_cf, labels, wpx, rh, rw_t)
+    return (loss[0, 0], preds), (z_cf, labels, wpx)
 
 
 def _fused_bwd(out_hw, tile_h, interpret, res, cts):
-    logits_lr, labels, sw, cw = res
+    z_cf, labels, wpx = res
     g_loss, _g_preds = cts  # preds output is a metric, not differentiated
-    b, h, w, c = logits_lr.shape
+    b, cc, h, w = z_cf.shape
     ho, wo = out_hw
     th = tile_h
-    g = jnp.asarray(g_loss, jnp.float32).reshape(1, 1)
     rh = jnp.asarray(interp_matrix(ho, h))
     rw = jnp.asarray(interp_matrix(wo, w))
-    d_lr = pl.pallas_call(
-        partial(_bwd_kernel, c=c),
+    d_cf = pl.pallas_call(
+        partial(_bwd_kernel, c=cc),
         grid=(b, ho // th),
-        in_specs=_common_specs(b, h, w, c, th, wo, ho // th)
-        + [pl.BlockSpec((1, 1), lambda i, t: (0, 0))],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, t: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        in_specs=_common_specs(cc, h, w, th, wo)
+        + [pl.BlockSpec((wo, w), lambda i, t: (0, 0))],
+        out_specs=pl.BlockSpec((1, cc, h, w), lambda i, t: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, cc, h, w), jnp.float32),
         interpret=interpret,
-    )(logits_lr, labels, sw, cw, rh, rw, g)
+    )(z_cf, labels, wpx, rh, jnp.asarray(rw.T), rw)
+    # scale by the loss cotangent on the SMALL low-res grad
+    d_cf = d_cf * jnp.asarray(g_loss, jnp.float32)
     return (
-        d_lr.astype(logits_lr.dtype),
+        d_cf,
         np.zeros(labels.shape, jax.dtypes.float0),
-        jnp.zeros_like(sw),
-        jnp.zeros_like(cw),
+        jnp.zeros_like(wpx),
     )
 
 
@@ -272,20 +286,21 @@ def fused_upsample_ce(
         raise ValueError(
             f"fused loss expects an integer upsample, got {h, w}->{ho, wo}"
         )
-    if sample_weights is None:
-        sample_weights = jnp.ones((b, ho, wo), jnp.float32)
-    if class_weights is None:
-        class_weights = jnp.ones((c,), jnp.float32)
+    labels = labels.astype(jnp.int32)
+    # fold validity + class weights + sample weights into ONE pixel map
+    # on the XLA side so the kernel carries no scalar/gather operands
+    valid = (labels >= 0) & (labels < c)
+    wpx = jnp.ones((b, ho, wo), jnp.float32)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, jnp.float32)
+        wpx = wpx * cw[jnp.clip(labels, 0, c - 1)]
+    if sample_weights is not None:
+        wpx = wpx * sample_weights.astype(jnp.float32)
+    wpx = jnp.where(valid, wpx, 0.0)
+    # class-major layout: every in-kernel value is a 2-D (row, W) vector
+    z_cf = jnp.transpose(logits_lr.astype(jnp.float32), (0, 3, 1, 2))
     th = tile_h or _pick_tile(ho)
-    return _fused(
-        logits_lr.astype(jnp.float32),
-        labels.astype(jnp.int32),
-        sample_weights.astype(jnp.float32),
-        jnp.asarray(class_weights, jnp.float32).reshape(1, c),
-        (ho, wo),
-        th,
-        interpret,
-    )
+    return _fused(z_cf, labels, wpx, (ho, wo), th, interpret)
 
 
 def upsample_ce_reference(
