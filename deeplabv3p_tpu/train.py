@@ -82,6 +82,7 @@ def make_train_step(
     fused_loss: bool = False,
     fused_class_weights=None,
     fused_interpret: bool = False,
+    fused_mesh=None,
 ):
     """Build the jitted train step. The returned fn has signature
     (state, images, labels, weights, lr_scale) -> (state, metrics_dict).
@@ -97,9 +98,49 @@ def make_train_step(
     free. Semantics are CE / class-weighted CE with ignore-index — the
     caller must only enable it for those losses (root train.py gates it).
     Requires a DeepLab conv-head model (`skip_final_resize` support).
+
+    On a multi-device `fused_mesh` the Pallas call — a custom call GSPMD
+    cannot partition — is wrapped in a `shard_map` over the 'data' axis:
+    each device runs the kernel on its local batch shard and the scalar
+    loss is psum-reduced (the batch dims are fully independent, so this
+    is exact). Spatial partitioning is gated out by the Trainer (the
+    in-kernel bilinear upsample would need an H-halo exchange).
     """
     if fused_loss:
         from deeplabv3p_tpu.ops.pallas.upsample_ce import fused_upsample_ce
+
+    def fused_tail(logits_lr, labels, sw):
+        """(loss_sum, preds) via the Pallas kernel; shard_mapped over
+        'data' when the mesh has more than one device."""
+        if fused_mesh is None or fused_mesh.size == 1:
+            return fused_upsample_ce(
+                logits_lr, labels, labels.shape[1:3],
+                sample_weights=sw,
+                class_weights=fused_class_weights,
+                interpret=fused_interpret,
+            )
+        from jax.sharding import PartitionSpec as P
+
+        has_sw = sw is not None
+
+        def _local(zl, lb, w):
+            ls, preds = fused_upsample_ce(
+                zl, lb, lb.shape[1:3],
+                sample_weights=w if has_sw else None,
+                class_weights=fused_class_weights,
+                interpret=fused_interpret,
+            )
+            return jax.lax.psum(ls, "data"), preds
+
+        return jax.shard_map(
+            _local,
+            mesh=fused_mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P(), P("data")),
+            # pallas_call outputs carry no varying-mesh-axes metadata,
+            # which the default vma type-check requires
+            check_vma=False,
+        )(logits_lr, labels, sw if has_sw else labels)
 
     def step_fn(state: TrainState, images, labels, weights, lr_scale):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -113,12 +154,7 @@ def make_train_step(
                     freeze_level=freeze_level, skip_final_resize=True,
                     rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
-                loss_sum, preds = fused_upsample_ce(
-                    logits_lr, labels, labels.shape[1:3],
-                    sample_weights=sw,
-                    class_weights=fused_class_weights,
-                    interpret=fused_interpret,
-                )
+                loss_sum, preds = fused_tail(logits_lr, labels, sw)
                 # reduce_loss's Keras mean-over-all-pixels
                 loss = loss_sum / labels.size
                 metric_aux = preds
@@ -378,11 +414,15 @@ class Trainer:
         lr_scale); the per-step augmentation key is derived inside as
         fold_in(aug_key, state.step), so the host never splits keys.
         """
-        if self.fused_loss and self.mesh.size > 1:
-            # the Pallas loss tail is a custom call GSPMD cannot partition;
-            # multi-device meshes keep the XLA loss path (still one program)
+        if self.fused_loss and dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        ).get("spatial", 1) > 1:
+            # data-parallel meshes shard_map the kernel per device (exact:
+            # batch dims are independent, loss is psum-reduced); a spatial
+            # H-split would need an in-kernel upsample halo exchange
             raise ValueError(
-                "fused_loss currently supports single-device meshes only"
+                "fused_loss supports data-parallel meshes only "
+                "(spatial_partition must be 1)"
             )
         step = make_train_step(
             self.model,
@@ -396,6 +436,7 @@ class Trainer:
             fused_class_weights=self.fused_class_weights,
             fused_interpret=self.mesh.devices.flat[0].platform
             not in ("tpu", "axon"),
+            fused_mesh=self.mesh,
         )
         if augment_fn is None:
             fn = step

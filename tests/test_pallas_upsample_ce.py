@@ -195,3 +195,79 @@ def test_rejects_non_integer_or_identity_resize():
     with pytest.raises(ValueError):
         fused_upsample_ce(logits, labels, (out_hw[0] + 3, out_hw[1]),
                           interpret=True)
+
+
+def test_train_step_fused_data_parallel_matches_single_device(tmp_path):
+    """The shard_mapped fused loss tail on an 8-device data mesh must
+    reproduce the 1-device fused step: per-device kernels see disjoint
+    batch shards (batch dims are independent) and the scalar loss is
+    psum-reduced, so the only admissible difference is fp reassociation
+    (same tolerance ladder as the SyncBN parity oracle)."""
+    from deeplabv3p_tpu import losses as losses_lib
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.parallel.mesh import make_mesh
+    from deeplabv3p_tpu.train import StageConfig, Trainer
+
+    num_classes, hw = 4, 32
+    model = build_deeplab_model("mobilenetv2_lite", num_classes,
+                                output_stride=16)
+    rng = np.random.RandomState(5)
+    images = rng.rand(8, hw, hw, 3).astype(np.float32) * 2 - 1
+    labels = rng.randint(0, num_classes, (8, hw, hw)).astype(np.int32)
+    labels[:, :4, :] = 255  # ignore band
+    weights = np.ones((8, hw, hw), np.float32)
+    stage = StageConfig(freeze_level=0, optim_type="sgd",
+                        learning_rate=1e-3, epochs=1)
+
+    results = {}
+    for n in (1, 8):
+        trainer = Trainer(
+            model, num_classes,
+            losses_lib.sparse_categorical_crossentropy,
+            mesh=make_mesh(n), log_dir=str(tmp_path / f"logs{n}"),
+            seed=0, fused_loss=True,
+        )
+        state, tx = trainer.init_state((hw, hw), stage, batch_size=8)
+        step = trainer.compile_train_step(tx, stage)
+        state, m = step(
+            state, jnp.asarray(images), jnp.asarray(labels),
+            jnp.asarray(weights), 1.0,
+        )
+        results[n] = (
+            jax.device_get(state.params), float(m["loss"]),
+            float(m["jaccard"]),
+        )
+
+    p1, l1, j1 = results[1]
+    p8, l8, j8 = results[8]
+    assert l8 == pytest.approx(l1, rel=1e-5)
+    assert j8 == pytest.approx(j1, rel=1e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p8)[0],
+        jax.tree_util.tree_flatten_with_path(p1)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-3,
+            err_msg=str(pa),
+        )
+
+
+def test_trainer_rejects_fused_loss_with_spatial_partition(tmp_path):
+    """Spatial (H-split) meshes are gated: the in-kernel upsample would
+    need a halo exchange. Data-parallel meshes are allowed (test above)."""
+    from deeplabv3p_tpu import losses as losses_lib
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.parallel.mesh import make_mesh
+    from deeplabv3p_tpu.train import StageConfig, Trainer
+
+    model = build_deeplab_model("mobilenetv2_lite", 4, output_stride=16)
+    trainer = Trainer(
+        model, 4, losses_lib.sparse_categorical_crossentropy,
+        mesh=make_mesh(8, axis_names=("data", "spatial")),
+        log_dir=str(tmp_path), fused_loss=True,
+    )
+    stage = StageConfig(freeze_level=0, optim_type="sgd",
+                        learning_rate=1e-3, epochs=1)
+    _, tx = trainer.init_state((32, 32), stage, batch_size=8)
+    with pytest.raises(ValueError, match="spatial"):
+        trainer.compile_train_step(tx, stage)

@@ -154,7 +154,8 @@ def main(args):
 
     if args.fused_loss:
         # the Pallas loss tail implements (class-weighted) CE + ignore
-        # semantics for DeepLab conv-head models on a single device
+        # semantics for DeepLab conv-head models; multi-device data-parallel
+        # meshes shard_map it per device (spatial partitioning gated out)
         from deeplabv3p_tpu.models.factory import DEEPLAB_MODEL_REGISTRY
 
         if args.loss != "crossentropy":
@@ -163,8 +164,12 @@ def main(args):
             raise SystemExit(
                 "--fused_loss requires a DeepLab conv-head model"
             )
-        if mesh.size > 1:
-            raise SystemExit("--fused_loss supports a single device only")
+        if args.spatial_partition > 1:
+            raise SystemExit(
+                "--fused_loss supports data-parallel meshes only "
+                "(--spatial_partition 1); the in-kernel upsample would "
+                "need a halo exchange under an H-split"
+            )
 
     trainer = Trainer(
         model, num_classes, loss_fn,
@@ -322,7 +327,7 @@ def parse_args():
     p.add_argument("--mixed_precision", action="store_true", default=True)
     p.add_argument("--fused_loss", action="store_true",
                    help="fuse upsample+CE+metric into one Pallas kernel "
-                        "(DeepLab conv-head models, CE loss, single device)")
+                        "(DeepLab conv-head models, CE loss, data-parallel meshes)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (OS8 memory)")
     p.add_argument("--log_dir", default="logs/000")
