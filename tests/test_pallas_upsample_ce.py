@@ -1,10 +1,12 @@
-"""Fused upsample+CE+confusion kernel vs the XLA path it replaces
+"""Fused upsample+CE+argmax kernel vs the XLA path it replaces
 (ops/pallas/upsample_ce.py; interpret mode on the CPU mesh).
 
 Parity targets: losses.py CE semantics (ignore-index zero, one-hot-zero
 out-of-range, class/sample weights), ops/resize.resize_bilinear
-upsampling, metrics.jaccard's (C+2, C) per-sample confusion, and the
-analytic VJP vs jax.grad of the reference formulation.
+upsampling, jnp.argmax preds (lowest-index ties) feeding
+metrics.jaccard_from_preds, the analytic VJP vs jax.grad of the
+reference formulation, and the shard_mapped data-parallel tail vs the
+single-device step.
 """
 
 import numpy as np
