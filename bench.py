@@ -182,10 +182,15 @@ def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
 
 
 def bench_train_throughput(model_type: str, hw=512, batch=16,
-                           num_classes=21, iters=10, fused_loss=False):
+                           num_classes=21, iters=10, fused_loss=False,
+                           remat=False):
     """Returns (images/sec/chip, step GFLOPs) for the full jitted
     fwd+bwd+optimizer+metrics step. fused_loss routes the loss tail
-    through the Pallas upsample+CE kernel (ops/pallas/upsample_ce.py)."""
+    through the Pallas upsample+CE kernel (ops/pallas/upsample_ce.py);
+    remat rematerializes backbone activations (the train step is
+    HBM-bandwidth-saturated at ~4% MFU per train_phase_profile, so
+    recomputing forward activations in the bwd trades idle MXU FLOPs
+    for the bound resource)."""
     from deeplabv3p_tpu.losses import get_loss_fn
     from deeplabv3p_tpu.models.factory import build_deeplab_model
     from deeplabv3p_tpu.parallel.mesh import make_mesh
@@ -193,7 +198,8 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
 
     mesh = make_mesh(1)
     model = build_deeplab_model(
-        model_type, num_classes, output_stride=16, dtype=jnp.bfloat16
+        model_type, num_classes, output_stride=16, dtype=jnp.bfloat16,
+        remat=remat,
     )
     trainer = Trainer(
         model, num_classes, get_loss_fn("crossentropy"), mesh=mesh,
@@ -517,6 +523,11 @@ def bench_learn(max_epochs=120, target=0.95):
 
 
 def main():
+    # one-time-per-rig compiles (steady-state timings are unaffected —
+    # the cached executable is bit-identical; only compile walls shrink)
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     n_chips = jax.device_count()
     peak = chip_peak_flops()
     log(f"devices: {jax.devices()}  peak_bf16={peak / 1e12:.0f} TFLOP/s")
