@@ -23,7 +23,11 @@ def segment_img_loop(deeplab: DeepLab, output_path=None):
     import os
 
     while True:
-        img_path = input("Input image filename:")
+        try:
+            img_path = input("Input image filename:")
+        except EOFError:
+            # stdin closed — filenames were piped in; exit cleanly
+            return
         try:
             image = Image.open(img_path).convert("RGB")
         except Exception:
@@ -47,6 +51,11 @@ def parse_input_shape(spec):
 
 
 def main(args):
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+    from deeplabv3p_tpu.utils.device import apply_device_arg
+
+    apply_device_arg(args)
+    enable_compilation_cache()
     deeplab = DeepLab(
         model_type=args.model_type,
         classes_path=args.classes_path,
@@ -98,6 +107,9 @@ def parse_args():
     p.add_argument("--output", default=None)
     p.add_argument("--dump_model", action="store_true")
     p.add_argument("--output_model_file", default="inference.ckpt")
+    from deeplabv3p_tpu.utils.device import add_device_arg
+
+    add_device_arg(p)
     return p.parse_args()
 
 

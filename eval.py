@@ -37,6 +37,9 @@ def main(args):
         # jax_platforms programmatically, so plain JAX_PLATFORMS env is
         # ignored (CLAUDE.md rule 3)
         jax.config.update("jax_platforms", "cpu")
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
     input_shape = parse_input_shape(args.model_input_shape)

@@ -161,6 +161,9 @@ def validate(model_paths, model_type, image_file, classes_path, input_shape,
 
 
 def main():
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", required=True,
                    help="one artifact, or a comma-separated list "
@@ -174,7 +177,11 @@ def main():
     p.add_argument("--output_stride", type=int, default=16)
     p.add_argument("--loop_count", type=int, default=1)
     p.add_argument("--output_path", default=".")
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
     validate(
         [s for s in args.model_path.split(",") if s],
         args.model_type, args.image_file,

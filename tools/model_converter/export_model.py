@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def main():
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", required=True, help=".ckpt or Keras .h5")
     p.add_argument("--model_type", default="mobilenetv2_lite")
@@ -48,7 +51,11 @@ def main():
                    help="representative dataset root for int8 calibration")
     p.add_argument("--dataset_file", default=None)
     p.add_argument("--calib_batches", type=int, default=4)
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
 
     import jax
     import jax.numpy as jnp

@@ -49,6 +49,9 @@ def main(args):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # big XLA compiles become one-time per rig
     class_names = get_classes(args.classes_path)
     num_classes = len(class_names)
     assert num_classes < 254, "PNG label only supports < 254 classes"
@@ -194,14 +197,17 @@ def main(args):
                 freeze_level=args.freeze_level,
                 optim_type=args.optimizer, learning_rate=args.learning_rate,
                 decay_type=None, epochs=args.transfer_epoch - args.init_epoch,
+                grad_accum=args.grad_accum,
             )
         )
     stages.append(
         StageConfig(
             freeze_level=0, optim_type=args.optimizer,
             learning_rate=args.learning_rate, decay_type=args.decay_type,
-            decay_steps=total_steps, average_type=args.weights_average_type,
+            decay_steps=max(total_steps // args.grad_accum, 1),
+            average_type=args.weights_average_type,
             epochs=args.total_epoch - max(args.transfer_epoch, args.init_epoch),
+            grad_accum=args.grad_accum,
         )
     )
 
@@ -330,6 +336,10 @@ def parse_args():
                         "(DeepLab conv-head models, CE loss, data-parallel meshes)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (OS8 memory)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over k micro-batches before "
+                        "each optimizer update (effective batch = "
+                        "k * batch_size without the activation memory)")
     p.add_argument("--log_dir", default="logs/000")
     p.add_argument("--device", default="auto", choices=["auto", "cpu"],
                    help="force the CPU backend (e.g. virtual-mesh tests)")
