@@ -67,6 +67,11 @@ class StageConfig:
     decay_steps: int = 100000
     average_type: Optional[str] = None
     epochs: int = 1
+    # accumulate gradients over k micro-batches before applying the
+    # optimizer (optax.MultiSteps, mean of grads) — effective batch =
+    # k * batch_size without the activation memory. decay_steps counts
+    # APPLIED updates (the inner schedule only advances every k).
+    grad_accum: int = 1
 
 
 def make_train_step(
@@ -391,6 +396,12 @@ class Trainer:
             decay_steps=stage.decay_steps,
             trainable_mask=mask,
         )
+        if stage.grad_accum > 1:
+            # mean-of-grads accumulation: params stay fixed for k-1 micro
+            # steps, then one inner-optimizer update with the mean grad —
+            # numerically the full k*batch step for everything except BN
+            # batch stats (which, as in any framework, see micro-batches)
+            tx = optax.MultiSteps(tx, every_k_schedule=stage.grad_accum)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
