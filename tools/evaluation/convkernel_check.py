@@ -97,7 +97,11 @@ def main():
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--output", default="kernel_viz.png")
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
     visualize_kernels(
         args.model_type, args.weights_path, args.layer, args.num_filters,
         args.image_size, args.steps, out_path=args.output,

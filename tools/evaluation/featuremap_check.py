@@ -88,7 +88,11 @@ def main():
     p.add_argument("--model_input_shape", type=int, default=512)
     p.add_argument("--layers", default=None,
                    help="comma-separated substrings to filter layer names")
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
     dump_featuremaps(
         args.model_type, args.weights_path, args.image_file,
         args.output_path, args.num_classes,

@@ -59,7 +59,11 @@ def main():
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--model_input_shape", type=int, default=512)
     p.add_argument("--output_stride", type=int, default=16)
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
     model_statistics(
         args.model_type, args.num_classes,
         (args.model_input_shape, args.model_input_shape), args.output_stride,

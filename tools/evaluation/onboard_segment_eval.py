@@ -72,7 +72,11 @@ def main():
     p.add_argument("--pred_label_path", required=True)
     p.add_argument("--classes_path", required=True)
     p.add_argument("--model_output_shape", default="512x512")
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)
 
     shape = tuple(int(v) for v in args.model_output_shape.split("x"))
     dataset = get_data_list(args.dataset_file, shuffle=False)

@@ -95,7 +95,11 @@ def main():
     parser.add_argument("--nchw_output", action="store_true",
                         help="emit NCHW output layout (reference "
                         "onnx_edit.py behaviour)")
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(parser)
     args = parser.parse_args()
+    apply_device_arg(args)
     h, w = map(int, args.model_input_shape.split("x"))
     num_classes = len(get_classes(args.classes_path))
     convert(
