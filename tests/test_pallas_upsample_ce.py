@@ -273,3 +273,59 @@ def test_trainer_rejects_fused_loss_with_spatial_partition(tmp_path):
     _, tx = trainer.init_state((32, 32), stage, batch_size=8)
     with pytest.raises(ValueError, match="spatial"):
         trainer.compile_train_step(tx, stage)
+
+
+def test_fused_loss_composes_with_remat():
+    """--remat (checkpointed backbone) + --fused_loss (Pallas tail) must
+    compose: remat replays the backbone inside the bwd but cannot change
+    math, so the fused train step's loss and updated params are identical
+    (same dtype, same program order) with and without it."""
+    import optax
+
+    from deeplabv3p_tpu import optimizers as opt_lib
+    from deeplabv3p_tpu.losses import get_loss_fn
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.train import TrainState, make_train_step
+
+    num_classes, hw = 4, 32
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(2, hw, hw, 3).astype(np.float32))
+    labels = jnp.asarray(
+        rng.randint(0, num_classes, (2, hw, hw)).astype(np.int32)
+    )
+    sw = jnp.ones((2, hw, hw), jnp.float32)
+    loss_fn = get_loss_fn("crossentropy")
+    tx = optax.sgd(0.05)
+
+    def run(remat):
+        model = build_deeplab_model(
+            "mobilenetv2_lite", num_classes, output_stride=16, remat=remat
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+        step = jax.jit(make_train_step(
+            model, tx, loss_fn, use_sample_weights=True,
+            fused_loss=True, fused_interpret=True,
+        ))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            avg=opt_lib.init_average(None, variables["params"]),
+            rng=jax.random.PRNGKey(3),
+        )
+        state, m = step(state, images, labels, sw, 1.0)
+        return state, m
+
+    s_ref, m_ref = run(remat=False)
+    s_rm, m_rm = run(remat=True)
+    np.testing.assert_allclose(float(m_rm["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(s_rm.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+            err_msg=str(pa),
+        )
