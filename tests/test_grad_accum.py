@@ -116,3 +116,33 @@ def test_schedule_counts_applied_updates(tmp_path):
 def _init_params(trainer, stage):
     s, _ = trainer.init_state((HW, HW), stage, batch_size=2)
     return s.params, s.batch_stats
+
+
+def test_grad_accum_on_data_parallel_mesh(tmp_path):
+    """MultiSteps state (accumulated grads + inner opt state) must ride
+    the replicated out_shardings of the mesh train step: 8-device data
+    mesh, k=2 — params bit-frozen after micro-step 1, moved after 2."""
+    model = build_deeplab_model("mobilenetv2_lite", NUM_CLASSES)
+    trainer = Trainer(
+        model, NUM_CLASSES, get_loss_fn("crossentropy"),
+        mesh=make_mesh(8), log_dir=str(tmp_path),
+    )
+    accum = StageConfig(freeze_level=0, optim_type="adam",
+                        learning_rate=1e-3, grad_accum=2)
+    state, tx = trainer.build_stage_state(
+        *_init_params(trainer, accum), accum
+    )
+    step = trainer.compile_train_step(tx, accum)
+    images, labels, weights = _batch(batch=8)
+    from deeplabv3p_tpu.parallel.mesh import shard_batch
+
+    images, labels, weights = shard_batch(
+        trainer.mesh, (images, labels, weights)
+    )
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    params0 = copy(state.params)
+    state, m = step(state, images, labels, weights, 1.0)
+    assert bool(jnp.isfinite(m["loss"]))
+    assert _params_equal(state.params, params0)
+    state, _ = step(state, images, labels, weights, 1.0)
+    assert not _params_equal(state.params, params0)
