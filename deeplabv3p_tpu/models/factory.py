@@ -50,8 +50,11 @@ class DeeplabV3Plus(nn.Module):
     output_stride: int = 16
     lite: bool = False
     use_subpixel: bool = False
-    remat: bool = False  # rematerialize backbone activations (OS8 @ 512
-    # memory relief, SURVEY.md §7 "GlobalPool-in-graph + OS=8 memory")
+    remat: Any = False  # rematerialize backbone activations (OS8 @ 512
+    # memory relief, SURVEY.md §7 "GlobalPool-in-graph + OS=8 memory").
+    # False/off | True/'full' (one checkpoint around the whole backbone)
+    # | 'block' (per-block checkpoints — backbones exposing a
+    # `remat_blocks` field; finer memory control, compile-friendlier)
     fused_aspp: bool = False  # Pallas fused ASPP depthwise at inference
     fused_decoder: bool = False  # Pallas fused decoder front-end at inference
     dtype: Optional[Any] = None
@@ -86,7 +89,33 @@ class DeeplabV3Plus(nn.Module):
         backbone_train = train and freeze_level < 1
         head_train = train and freeze_level < 2
 
-        if self.remat:
+        remat_mode = {False: None, True: "full", "off": None}.get(
+            self.remat, self.remat
+        )
+        if remat_mode not in (None, "full", "block"):
+            raise ValueError(f"remat must be off/full/block, got {self.remat!r}")
+        if remat_mode == "block":
+            # per-block checkpoints: the backbone wraps each of its blocks
+            # in jax.checkpoint itself (param scopes unchanged, so
+            # checkpoints stay interchangeable with the non-remat model)
+            import dataclasses
+            import functools
+
+            cls = (self.backbone_fn.func
+                   if isinstance(self.backbone_fn, functools.partial)
+                   else self.backbone_fn)
+            if "remat_blocks" not in {
+                f.name for f in dataclasses.fields(cls)
+            }:
+                raise ValueError(
+                    f"remat='block' unsupported for {cls.__name__} "
+                    "(no remat_blocks field); use remat='full'"
+                )
+            feat, skip = self.backbone_fn(
+                output_stride=self.output_stride, dtype=self.dtype,
+                remat_blocks=True, name="backbone",
+            )(x, train=backbone_train)
+        elif remat_mode == "full":
             # trade FLOPs for HBM: recompute backbone activations in the
             # backward pass (flax lifted jax.checkpoint); needed for the
             # memory-heavy OS8 @ 512 configs (SURVEY.md §7). The param

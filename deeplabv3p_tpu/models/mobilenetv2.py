@@ -110,6 +110,11 @@ class MobileNetV2Body(nn.Module):
     output_stride: int = 16
     alpha: float = 1.0
     dtype: Optional[Any] = None
+    # checkpoint each inverted-residual block (jax.checkpoint per block):
+    # the bwd replays one block at a time instead of storing all block
+    # activations — finer-grained and compile-friendlier than wrapping
+    # the whole backbone in one remat (factory remat='full')
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -126,12 +131,17 @@ class MobileNetV2Body(nn.Module):
         )
         x = relu6(x)
 
+        block_cls = InvertedResBlock
+        if self.remat_blocks:
+            # static_argnums: (module, x, train) — train is compile-time
+            block_cls = nn.remat(InvertedResBlock, static_argnums=(2,))
+
         def block(x, filters, stride, expansion, block_id, skip, rate=1):
-            return InvertedResBlock(
+            return block_cls(
                 expansion=expansion, stride=stride, alpha=alpha, filters=filters,
                 block_id=block_id, skip_connection=skip, rate=rate, dtype=dt,
                 name=f"block_{block_id}",
-            )(x, train=train)
+            )(x, train)
 
         x = block(x, 16, 1, 1, 0, False)
         x = block(x, 24, 2, 6, 1, False)

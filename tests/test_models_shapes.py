@@ -229,3 +229,54 @@ def test_remat_matches_plain_gradients():
         jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_remat_block_matches_plain_gradients():
+    """Per-block remat (remat='block': jax.checkpoint around every
+    inverted-residual block) must not change math either — grads of the
+    real MobileNetV2-Lite identical to the non-remat model, and the
+    param tree (scopes/names) unchanged so checkpoints interchange."""
+    import numpy as np
+
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 3))
+    grads, treedefs = [], []
+    for remat in (False, "block"):
+        model = build_deeplab_model(
+            "mobilenetv2_lite", 4, output_stride=16, remat=remat
+        )
+        vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(logits**2)
+
+        grads.append(jax.jit(jax.grad(loss))(vars_["params"]))
+        treedefs.append(jax.tree_util.tree_structure(vars_["params"]))
+    assert treedefs[0] == treedefs[1]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8
+        )
+
+
+def test_remat_rejects_unknown_mode_and_unsupported_backbone():
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="off/full/block"):
+        build_deeplab_model("mobilenetv2_lite", 4, remat="banana").init(
+            jax.random.PRNGKey(0), x
+        )
+    with pytest.raises(ValueError, match="remat_blocks"):
+        build_deeplab_model("xception", 4, remat="block").init(
+            jax.random.PRNGKey(0), x
+        )

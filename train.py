@@ -334,8 +334,12 @@ def parse_args():
     p.add_argument("--fused_loss", action="store_true",
                    help="fuse upsample+CE+metric into one Pallas kernel "
                         "(DeepLab conv-head models, CE loss, data-parallel meshes)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize backbone activations (OS8 memory)")
+    p.add_argument("--remat", nargs="?", const="full", default="off",
+                   choices=["off", "full", "block"],
+                   help="rematerialize backbone activations (OS8 memory): "
+                        "'full' = one checkpoint around the backbone "
+                        "(bare --remat), 'block' = per-block checkpoints "
+                        "(backbones with remat_blocks support)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="accumulate gradients over k micro-batches before "
                         "each optimizer update (effective batch = "
