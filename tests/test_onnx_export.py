@@ -207,7 +207,7 @@ def test_export_onnx_cli(tmp_path):
          "--model_type", "mobilenetv2_lite",
          "--classes_path", "configs/voc_classes.txt",
          "--model_input_shape", "64x64",
-         "--output_path", out],
+         "--output_path", out, "--device", "cpu"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
@@ -251,7 +251,7 @@ def test_eval_cli_with_onnx_model(tmp_path):
          "--classes_path", str(tmp_path / "classes.txt"),
          "--model_input_shape", "32x32",
          "--batch_size", "2",
-         "--output_path", onnx_path],
+         "--output_path", onnx_path, "--device", "cpu"],
         capture_output=True, text=True, cwd=repo,
     )
     assert res.returncode == 0, res.stderr[-2000:]

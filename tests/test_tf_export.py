@@ -191,7 +191,7 @@ def test_export_model_cli_tflite(small_model, tmp_path):
         [sys.executable, "tools/model_converter/export_model.py",
          "--model_path", h5, "--model_type", "mobilenetv2_lite",
          "--num_classes", str(NCLS), "--model_input_shape", str(HW),
-         "--format", "tflite", "--output", out],
+         "--format", "tflite", "--output", out, "--device", "cpu"],
         capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
