@@ -36,6 +36,7 @@ import json
 import os
 import sys
 import tempfile
+import threading
 import time
 
 import jax
@@ -62,6 +63,69 @@ PEAK_BF16 = {
 
 def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Rig resilience: the tunneled TPU client can wedge for 15-70 min
+# (UNAVAILABLE on backend init) and a process whose backend dies mid-run
+# can hang at interpreter exit while still holding the client. The bench
+# must never turn that into "no result recorded": a global watchdog
+# emits the JSON line with whatever configs completed and hard-exits.
+# ---------------------------------------------------------------------------
+_EMITTED = threading.Event()
+_PARTIAL = {"configs": {}, "peak": None, "n_chips": None, "device": None}
+
+
+def _emit(partial=False):
+    """Print the one-line JSON result exactly once."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    configs = _PARTIAL["configs"]
+    lite = configs.get(PRIMARY, {})
+    infer_ms = lite.get("infer_b1_ms")
+    out = {
+        "metric": f"{PRIMARY}_512_infer_ms_per_image",
+        "value": infer_ms,
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_INFER_MS[PRIMARY] / infer_ms, 3)
+        if infer_ms else None,
+        "train_images_per_sec_per_chip": lite.get(
+            "train_images_per_sec_per_chip"
+        ),
+        "train_speedup_vs_est_tf": lite.get("train_speedup_vs_est_tf"),
+        "peak_bf16_tflops": (_PARTIAL["peak"] or 0) / 1e12 or None,
+        "n_chips": _PARTIAL["n_chips"],
+        "device": _PARTIAL["device"],
+        "configs": configs,
+    }
+    if partial:
+        out["watchdog_timeout"] = True
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog_fire():
+    log("WATCHDOG: bench exceeded its budget — emitting partial results")
+    _emit(partial=True)
+    os._exit(0)
+
+
+def _init_devices_with_retry(max_wait_min: float):
+    """jax.devices() with patient retries: a wedged tunnel recovers on
+    the order of tens of minutes, so waiting can rescue the round's
+    bench where failing fast records nothing."""
+    deadline = time.time() + max_wait_min * 60
+    delay = 60.0
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as exc:
+            if time.time() > deadline:
+                raise
+            log(f"backend init failed ({str(exc).splitlines()[-1][:120]}); "
+                f"retrying in {delay:.0f}s")
+            time.sleep(delay)
+            delay = min(delay * 1.5, 300.0)
 
 
 def chip_peak_flops() -> float:
@@ -528,39 +592,57 @@ def main():
     from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # Whole-run budget: emit partial results + hard-exit rather than
+    # hang the driver if the tunnel wedges mid-bench (CLAUDE.md rule 12)
+    budget_min = float(os.environ.get("DEEPLAB_BENCH_WATCHDOG_MIN", "150"))
+    watchdog = threading.Timer(budget_min * 60, _watchdog_fire)
+    watchdog.daemon = True
+    watchdog.start()
+
+    devices = _init_devices_with_retry(
+        max_wait_min=min(45.0, budget_min / 2)
+    )
     n_chips = jax.device_count()
     peak = chip_peak_flops()
-    log(f"devices: {jax.devices()}  peak_bf16={peak / 1e12:.0f} TFLOP/s")
+    log(f"devices: {devices}  peak_bf16={peak / 1e12:.0f} TFLOP/s")
 
-    configs = {}
+    configs = _PARTIAL["configs"]
+    _PARTIAL.update(
+        peak=peak, n_chips=n_chips, device=str(devices[0])
+    )
 
     for mt in ("mobilenetv2_lite", "mobilenetv2", "resnet50", "xception"):
-        log(f"inference b1 {mt} ...")
-        ms, sync_ms, gflops = bench_inference(mt, iters=50)
-        entry = {
-            "infer_b1_ms": round(ms, 3),
-            "infer_b1_sync_p50_ms": round(sync_ms, 3),
-            "fwd_gflops": round(gflops, 2),
-            # gflops/ms == TFLOP/s; mfu = achieved / peak
-            "infer_b1_mfu": round((gflops / ms) / (peak / 1e12), 4)
-            if gflops else None,
-        }
-        base = BASELINE_INFER_MS.get(mt)
-        if base:
-            entry["baseline_ms_titanxp"] = base
-            entry["speedup_vs_titanxp"] = round(base / ms, 2)
-        log(f"  b1 {ms:.3f} ms ({entry.get('speedup_vs_titanxp', '-')}x)")
+        entry = configs.setdefault(mt, {})
+        try:
+            log(f"inference b1 {mt} ...")
+            ms, sync_ms, gflops = bench_inference(mt, iters=50)
+            entry.update({
+                "infer_b1_ms": round(ms, 3),
+                "infer_b1_sync_p50_ms": round(sync_ms, 3),
+                "fwd_gflops": round(gflops, 2),
+                # gflops/ms == TFLOP/s; mfu = achieved / peak
+                "infer_b1_mfu": round((gflops / ms) / (peak / 1e12), 4)
+                if gflops else None,
+            })
+            base = BASELINE_INFER_MS.get(mt)
+            if base:
+                entry["baseline_ms_titanxp"] = base
+                entry["speedup_vs_titanxp"] = round(base / ms, 2)
+            log(f"  b1 {ms:.3f} ms "
+                f"({entry.get('speedup_vs_titanxp', '-')}x)")
 
-        log(f"inference b8 {mt} ...")
-        ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25)
-        entry["infer_b8_ms_per_img"] = round(ms8, 3)
-        entry["infer_b8_images_per_sec"] = round(1000.0 / ms8, 1)
-        if gflops8:
-            entry["infer_b8_mfu"] = round(
-                (gflops8 / ms8) / (peak / 1e12), 4
-            )
-        log(f"  b8 {ms8:.3f} ms/img")
-        configs[mt] = entry
+            log(f"inference b8 {mt} ...")
+            ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25)
+            entry["infer_b8_ms_per_img"] = round(ms8, 3)
+            entry["infer_b8_images_per_sec"] = round(1000.0 / ms8, 1)
+            if gflops8:
+                entry["infer_b8_mfu"] = round(
+                    (gflops8 / ms8) / (peak / 1e12), 4
+                )
+            log(f"  b8 {ms8:.3f} ms/img")
+        except Exception as exc:
+            log(f"  failed: {exc}")
+            entry["infer_error"] = str(exc)[:200]
 
     # batch-scaling study (VERDICT r2 item #3): train throughput + MFU at
     # several batch sizes per family — the headline batch first (kept
@@ -651,20 +733,38 @@ def main():
     # uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that
     # bounds cli_train on this rig (a real TPU host pays PCIe/DMA here)
     log("host->device transfer bandwidth ...")
-    batch_bytes = 8 * 512 * 512 * 3 + 8 * 512 * 512
-    host_buf = np.zeros(batch_bytes, np.uint8)
-    jax.block_until_ready(jax.device_put(host_buf))  # warm path
-    bw = []
-    for i in range(3):
-        host_buf[i] = i  # defeat any content caching
-        t0 = time.perf_counter()
-        dev = jax.device_put(host_buf)
-        np.asarray(dev[-1])  # value fetch = real sync
-        bw.append(batch_bytes / (time.perf_counter() - t0) / 1e9)
-    transfer_gbps = float(np.median(bw))
-    log(f"  {transfer_gbps:.3f} GB/s")
+    try:
+        batch_bytes = 8 * 512 * 512 * 3 + 8 * 512 * 512
+        host_buf = np.zeros(batch_bytes, np.uint8)
+        jax.block_until_ready(jax.device_put(host_buf))  # warm path
+        bw = []
+        for i in range(3):
+            host_buf[i] = i  # defeat any content caching
+            t0 = time.perf_counter()
+            dev = jax.device_put(host_buf)
+            np.asarray(dev[-1])  # value fetch = real sync
+            bw.append(batch_bytes / (time.perf_counter() - t0) / 1e9)
+        transfer_gbps = float(np.median(bw))
+        log(f"  {transfer_gbps:.3f} GB/s")
+    except Exception as exc:
+        log(f"  failed: {exc}")
+        transfer_gbps = 0.0
 
     log("cli pipeline (on-disk JPEG -> fused train step) ...")
+    try:
+        _run_cli_pipeline(configs, transfer_gbps)
+    except Exception as exc:
+        log(f"  failed: {exc}")
+        configs["cli_train"] = {"error": str(exc)[:200]}
+
+    _emit()
+    # exceptions/atexit teardown against a dead tunnel can hang the
+    # interpreter for ~45 min while holding the single TPU client —
+    # results are printed, leave immediately
+    os._exit(0)
+
+
+def _run_cli_pipeline(configs, transfer_gbps):
     (cli_ips, cli_ips_mean, decode_ips,
      packed_best, packed_mean, dev_best, dev_mean) = bench_cli_pipeline()
     configs["cli_train"] = {
@@ -692,24 +792,14 @@ def main():
     }
     log(f"  cli {cli_ips:.1f} img/s (decode ceiling {decode_ips:.1f})")
 
-    lite = configs[PRIMARY]
-    print(json.dumps({
-        "metric": f"{PRIMARY}_512_infer_ms_per_image",
-        "value": lite["infer_b1_ms"],
-        "unit": "ms",
-        "vs_baseline": round(
-            BASELINE_INFER_MS[PRIMARY] / lite["infer_b1_ms"], 3
-        ),
-        "train_images_per_sec_per_chip": lite.get(
-            "train_images_per_sec_per_chip"
-        ),
-        "train_speedup_vs_est_tf": lite.get("train_speedup_vs_est_tf"),
-        "peak_bf16_tflops": peak / 1e12,
-        "n_chips": n_chips,
-        "device": str(jax.devices()[0]),
-        "configs": configs,
-    }))
-
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        log("bench aborted — emitting partial results")
+        _emit(partial=True)
+        os._exit(0)
