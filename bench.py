@@ -674,6 +674,25 @@ def main():
                 )
             scaling[f"b{batch}"] = point
             log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+            if batch == batches[0] and os.environ.get("DEEPLAB_BENCH_REMAT"):
+                # opt-in: per-block remat leg at the headline batch
+                # (off by default — remat compiles through this rig's
+                # tunnel remote-compile helper are pathologically slow,
+                # CLAUDE.md rule 12; enable once probed safe)
+                log(f"train {mt} b{batch} remat=block ...")
+                try:
+                    rips, _ = bench_train_throughput(
+                        mt, batch=batch, remat="block"
+                    )
+                    scaling[f"b{batch}_remat_block"] = {
+                        "images_per_sec_per_chip": round(rips / n_chips, 2),
+                    }
+                    log(f"  {rips:.1f} img/s/chip")
+                except Exception as exc:
+                    log(f"  failed: {exc}")
+                    scaling[f"b{batch}_remat_block"] = {
+                        "error": str(exc)[:200]
+                    }
             if batch == batches[0]:
                 # headline entry, comparable with earlier rounds
                 e["train_batch"] = batch

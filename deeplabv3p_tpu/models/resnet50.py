@@ -79,6 +79,10 @@ class ResNet50Body(nn.Module):
 
     output_stride: int = 16
     dtype: Optional[Any] = None
+    # checkpoint each BottleneckBlock (factory remat='block'): bwd
+    # replays one block at a time — trades idle-MXU FLOPs for saved-
+    # activation HBM traffic on this HBM-bound train step
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -106,14 +110,19 @@ class ResNet50Body(nn.Module):
         )
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
+        block_cls = BottleneckBlock
+        if self.remat_blocks:
+            # static_argnums: (module, x, train) — train is compile-time
+            block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
+
         def blocks(x, filters, stage, names, strides=1, rate=1):
             for i, b in enumerate(names):
-                x = BottleneckBlock(
+                x = block_cls(
                     3, filters, stage, b,
                     strides=strides if i == 0 else 1, rate=rate,
                     conv_shortcut=(i == 0), dtype=dt,
                     name=f"stage{stage}{b}",
-                )(x, train=train)
+                )(x, train)
             return x
 
         x = blocks(x, [64, 64, 256], 2, ["a", "b", "c"], strides=1)
@@ -123,13 +132,13 @@ class ResNet50Body(nn.Module):
         x = blocks(x, [256, 256, 1024], 4, ["a", "b", "c", "d", "e", "f"],
                    strides=s16, rate=r16)
         # native OS32 stage (reference :285-287); stage-5 'a' keeps r16
-        x = BottleneckBlock(
+        x = block_cls(
             3, [512, 512, 2048], 5, "a", strides=s32, rate=r16,
             conv_shortcut=True, dtype=dt, name="stage5a",
-        )(x, train=train)
+        )(x, train)
         for b in ["b", "c"]:
-            x = BottleneckBlock(
+            x = block_cls(
                 3, [512, 512, 2048], 5, b, rate=r32, dtype=dt,
                 name=f"stage5{b}",
-            )(x, train=train)
+            )(x, train)
         return x, skip

@@ -95,46 +95,56 @@ class XceptionBody(nn.Module):
 
     output_stride: int = 16
     dtype: Optional[Any] = None
+    # checkpoint each XceptionBlock (factory remat='block'): the bwd
+    # replays one block at a time instead of storing all 21 blocks'
+    # activations — the train step is HBM-bound (ROUND3_NOTES roofline),
+    # so dropping saved-activation traffic can pay even though it
+    # re-spends FLOPs the idle MXU has to spare
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         tab = os_control_table(self.output_stride)
         dt = self.dtype
+        block_cls = XceptionBlock
+        if self.remat_blocks:
+            # static_argnums: (module, x, train) — train is compile-time
+            block_cls = nn.remat(XceptionBlock, static_argnums=(2,))
 
         x = _conv(32, 3, strides=2, name="entry_flow_conv1_1", dtype=dt)(x)
-        x = BatchNorm(dtype=dt, name="entry_flow_conv1_1_BN")(x, train=train)
+        x = BatchNorm(dtype=dt, name="entry_flow_conv1_1_BN")(x, train)
         x = nn.relu(x)
         x = conv2d_same(x, 64, "entry_flow_conv1_2", kernel_size=3, stride=1, dtype=dt)
-        x = BatchNorm(dtype=dt, name="entry_flow_conv1_2_BN")(x, train=train)
+        x = BatchNorm(dtype=dt, name="entry_flow_conv1_2_BN")(x, train)
         x = nn.relu(x)
 
-        x = XceptionBlock(
+        x = block_cls(
             [128, 128, 128], "conv", stride=2, dtype=dt,
             name="entry_flow_block1",
-        )(x, train=train)
-        x, skip = XceptionBlock(
+        )(x, train)
+        x, skip = block_cls(
             [256, 256, 256], "conv", stride=2, return_skip=True, dtype=dt,
             name="entry_flow_block2",
-        )(x, train=train)
+        )(x, train)
 
         # native OS16 stage (reference :138-144)
-        x = XceptionBlock(
+        x = block_cls(
             [728, 728, 728], "conv", stride=tab["os16_stride"], dtype=dt,
             name="entry_flow_block3",
-        )(x, train=train)
+        )(x, train)
         for i in range(16):
-            x = XceptionBlock(
+            x = block_cls(
                 [728, 728, 728], "sum", stride=1, rate=tab["os16_rate"],
                 dtype=dt, name=f"middle_flow_unit_{i + 1}",
-            )(x, train=train)
+            )(x, train)
 
         # native OS32 stage (reference :147-152)
-        x = XceptionBlock(
+        x = block_cls(
             [728, 1024, 1024], "conv", stride=tab["os32_stride"],
             rate=tab["os16_rate"], dtype=dt, name="exit_flow_block1",
-        )(x, train=train)
-        x = XceptionBlock(
+        )(x, train)
+        x = block_cls(
             [1536, 1536, 2048], "none", stride=1, rate=tab["os32_rate"],
             depth_activation=True, dtype=dt, name="exit_flow_block2",
-        )(x, train=train)
+        )(x, train)
         return x, skip

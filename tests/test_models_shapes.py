@@ -232,11 +232,15 @@ def test_remat_matches_plain_gradients():
 
 
 @pytest.mark.slow
-def test_remat_block_matches_plain_gradients():
+@pytest.mark.parametrize(
+    "model_type", ["mobilenetv2_lite", "xception", "resnet50"]
+)
+def test_remat_block_matches_plain_gradients(model_type):
     """Per-block remat (remat='block': jax.checkpoint around every
-    inverted-residual block) must not change math either — grads of the
-    real MobileNetV2-Lite identical to the non-remat model, and the
-    param tree (scopes/names) unchanged so checkpoints interchange."""
+    backbone block) must not change math — grads of the real model
+    identical to the non-remat model, and the param tree (scopes/names)
+    unchanged so checkpoints interchange. Covers every family exposing
+    `remat_blocks` (mobilenetv2/xception/resnet50 bodies)."""
     import numpy as np
 
     from deeplabv3p_tpu.models.factory import build_deeplab_model
@@ -245,7 +249,7 @@ def test_remat_block_matches_plain_gradients():
     grads, treedefs = [], []
     for remat in (False, "block"):
         model = build_deeplab_model(
-            "mobilenetv2_lite", 4, output_stride=16, remat=remat
+            model_type, 4, output_stride=16, remat=remat
         )
         vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
@@ -260,12 +264,18 @@ def test_remat_block_matches_plain_gradients():
         grads.append(jax.jit(jax.grad(loss))(vars_["params"]))
         treedefs.append(jax.tree_util.tree_structure(vars_["params"]))
     assert treedefs[0] == treedefs[1]
-    for a, b in zip(
-        jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8
-        )
+    leaves0 = [np.asarray(l) for l in jax.tree_util.tree_leaves(grads[0])]
+    leaves1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(grads[1])]
+    # The remat'd program re-runs the fwd inside the bwd with different
+    # XLA fusion — summation order changes, so grad entries produced by
+    # large-term cancellation (e.g. BN bias grads of mean-subtracted
+    # activations, analytically ~0) carry fp32 noise proportional to the
+    # NETWORK's gradient scale, not the entry or even the leaf (observed
+    # on resnet50: leaves of pure ~1e-4 rounding residue while other
+    # leaves reach ~450). Tolerate noise relative to the global scale.
+    scale = max(1.0, max(float(np.abs(b).max()) for b in leaves1))
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * scale)
 
 
 def test_remat_rejects_unknown_mode_and_unsupported_backbone():
@@ -277,6 +287,6 @@ def test_remat_rejects_unknown_mode_and_unsupported_backbone():
             jax.random.PRNGKey(0), x
         )
     with pytest.raises(ValueError, match="remat_blocks"):
-        build_deeplab_model("xception", 4, remat="block").init(
+        build_deeplab_model("peleenet_lite", 4, remat="block").init(
             jax.random.PRNGKey(0), x
         )

@@ -339,7 +339,7 @@ def parse_args():
                    help="rematerialize backbone activations (OS8 memory): "
                         "'full' = one checkpoint around the backbone "
                         "(bare --remat), 'block' = per-block checkpoints "
-                        "(backbones with remat_blocks support)")
+                        "(mobilenetv2/xception/resnet50 backbones)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="accumulate gradients over k micro-batches before "
                         "each optimizer update (effective batch = "
