@@ -139,6 +139,49 @@ def test_syncbn_and_grad_allreduce_equivalence(tmp_path):
         _assert_step_results_match(results[name], (p1, s1, loss1, jac1))
 
 
+@pytest.mark.slow
+def test_remat_block_composes_with_data_parallel_mesh(tmp_path):
+    """Per-block remat (jax.checkpoint inside each backbone block) under
+    GSPMD: one step of the remat='block' model on the 8-device
+    data-parallel mesh must land on the same params/batch_stats/metrics
+    as the plain model on the same mesh — checkpointing changes the
+    backward schedule, never the math or the shardings."""
+    from deeplabv3p_tpu import losses as losses_lib
+    from deeplabv3p_tpu.models.factory import build_deeplab_model
+    from deeplabv3p_tpu.train import StageConfig, Trainer
+
+    stage = StageConfig(freeze_level=0, optim_type="sgd",
+                        learning_rate=1e-3, epochs=1)
+    rng = np.random.RandomState(1)
+    images = rng.rand(8, 32, 32, 3).astype(np.float32) * 2 - 1
+    labels = rng.randint(0, 4, size=(8, 32, 32)).astype(np.int32)
+    weights = np.ones((8, 32, 32), np.float32)
+
+    mesh = make_mesh(8)
+    results = {}
+    for remat in (False, "block"):
+        model = build_deeplab_model(
+            "mobilenetv2_lite", 4, output_stride=16, remat=remat
+        )
+        trainer = Trainer(
+            model, 4, losses_lib.sparse_categorical_crossentropy,
+            mesh=mesh, log_dir=str(tmp_path / f"logs_{remat}"), seed=0,
+        )
+        state, tx = trainer.init_state((32, 32), stage, batch_size=8)
+        step = trainer.compile_train_step(tx, stage)
+        state, metrics = step(
+            state, jnp.asarray(images), jnp.asarray(labels),
+            jnp.asarray(weights), 1.0,
+        )
+        results[remat] = (
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+            float(metrics["loss"]),
+            float(metrics["jaccard"]),
+        )
+    _assert_step_results_match(results["block"], results[False])
+
+
 def _assert_step_results_match(got, want):
     import jax
 
