@@ -27,7 +27,7 @@ import concurrent.futures as cf
 import os
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -10,7 +10,7 @@ artifact consumed by the C++ inference CLI and by serving.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from deeplabv3p_tpu.models.layers import BatchNorm, DepthwiseConv, _conv
 from deeplabv3p_tpu.ops.activations import relu6

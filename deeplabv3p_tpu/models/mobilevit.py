@@ -18,7 +18,7 @@ identical, one reshape cheaper, MXU-friendly.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -29,9 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 1024  # pixels per grid step (8 sublanes x 128 lanes)
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -39,10 +38,8 @@ from deeplabv3p_tpu.data.pipeline import device_feed
 from deeplabv3p_tpu.models.factory import make_trainable_mask
 from deeplabv3p_tpu.parallel.mesh import (
     batch_arg_sharding,
-    batch_sharding,
     make_mesh,
     replicated_sharding,
-    shard_batch,
 )
 
 

@@ -12,7 +12,6 @@ path the packed-shard format feeds.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from deeplabv3p_tpu.data.device_cache import DeviceCachedDataset

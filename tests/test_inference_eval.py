@@ -103,7 +103,6 @@ def test_eval_miou_pipeline(dataset_dir, tmp_path, capsys):
 def test_onboard_scorer_perfect_prediction(dataset_dir, tmp_path):
     """PNG-vs-PNG scorer (N5 equivalent): GT scored against itself must
     give mIoU == 1."""
-    import shutil
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

@@ -124,7 +124,6 @@ def test_reduce_loss_with_sample_weights(data):
 
 
 def test_l2_penalty_excludes_bn():
-    import flax.linen as nn
     from deeplabv3p_tpu.models.layers import ConvBN
 
     model = ConvBN(features=4, kernel_size=3, use_bias=True)

@@ -9,7 +9,6 @@ at image boundaries and cross-chunk f32 accumulation."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from deeplabv3p_tpu.ops.pallas.mbconv import (

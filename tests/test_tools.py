@@ -1,6 +1,5 @@
 """Tests for dataset converters, export, quantization, and runtime."""
 
-import json
 import os
 import sys
 

@@ -16,7 +16,6 @@ Usage:
 import argparse
 import glob
 import os
-import shutil
 import sys
 
 import numpy as np
