@@ -1,0 +1,59 @@
+"""bench.py driver contract: ONE parseable JSON line with the required
+keys, emitted exactly once — including under the watchdog/partial path
+(the tunneled TPU client can wedge mid-run; the driver must still get a
+result line, see bench.py `_emit`/`_watchdog_fire`)."""
+
+import importlib
+import io
+import json
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+pytestmark = pytest.mark.quick
+
+REQUIRED_KEYS = {"metric", "value", "unit", "vs_baseline", "configs"}
+
+
+@pytest.fixture()
+def bench_mod():
+    """Fresh bench module per test (module-level emit-once state)."""
+    sys.modules.pop("bench", None)
+    mod = importlib.import_module("bench")
+    yield mod
+    sys.modules.pop("bench", None)
+
+
+def test_emit_full_contract(bench_mod):
+    bench_mod._PARTIAL["configs"]["mobilenetv2_lite"] = {
+        "infer_b1_ms": 2.0,
+        "train_images_per_sec_per_chip": 400.0,
+    }
+    bench_mod._PARTIAL.update(peak=197e12, n_chips=1, device="test")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench_mod._emit()
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    out = json.loads(lines[0])
+    assert REQUIRED_KEYS <= set(out)
+    assert out["value"] == 2.0
+    # vs_baseline = reference 23 ms / ours
+    assert out["vs_baseline"] == pytest.approx(11.5)
+    assert "watchdog_timeout" not in out
+
+
+def test_emit_partial_and_idempotent(bench_mod):
+    """Watchdog path: no completed entries at all still yields a valid
+    line (value null), flagged partial; a second emit is a no-op."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench_mod._emit(partial=True)
+        bench_mod._emit()  # must not print a second line
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    out = json.loads(lines[0])
+    assert out["value"] is None
+    assert out["vs_baseline"] is None
+    assert out["watchdog_timeout"] is True
