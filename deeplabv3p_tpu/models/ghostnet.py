@@ -158,7 +158,15 @@ class GhostBottleneck(nn.Module):
 
 
 class GhostNetBody(nn.Module):
-    """Returns (features@OS with 160ch, skip@OS4 with 24ch)."""
+    """Returns (features@OS with 960ch, skip@OS4 with 24ch).
+
+    The body ends with the reference's `blocks_9_0` ConvBnAct — a 1x1
+    conv expanding the last bottleneck's 160ch to 960 (the final exp
+    size) before the segmentation head (reference
+    deeplabv3p_ghostnet.py:421-424, ConvBnAct :123-133). Round 3 found
+    this via the direct reference-builder oracle: both our body and the
+    hand-written Keras twin had omitted it (a shared misreading the
+    twin-based oracle could not catch)."""
 
     output_stride: int = 16
     width: float = 1.0
@@ -186,4 +194,11 @@ class GhostNetBody(nn.Module):
                 )(x, train=train)
                 if index == 2 and sub_index == 0:
                     skip = x  # OS4 (reference :414-416)
+
+        # final 1x1 expansion to the last exp size (960*width), the
+        # feature the reference hands to ASPP (reference :421-424)
+        final_ch = int(make_divisible(960 * self.width, 4))
+        x = _conv(final_ch, 1, name="blocks_9_0_conv", dtype=dt)(x)
+        x = BatchNorm(dtype=dt, name="blocks_9_0_bn1")(x, train=train)
+        x = nn.relu(x)
         return x, skip

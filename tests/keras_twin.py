@@ -684,6 +684,13 @@ def build_ghostnet_lite_keras(num_classes: int, input_hw: tuple[int, int]):
             x = bottleneck(x, k, exp, c, se, 1 if keep else s, r, keep,
                            f"blocks_{index}_{sub_index}")
 
+    # final 1x1 expansion to the last exp size (reference ConvBnAct
+    # 'blocks_9_0', deeplabv3p_ghostnet.py:421-424)
+    x = L.Conv2D(make_div(960), 1, use_bias=False,
+                 name="blocks_9_0_conv")(x)
+    x = L.BatchNormalization(name="blocks_9_0_bn1")(x)
+    x = L.ReLU()(x)
+
     fh, fw = input_hw[0] // 16, input_hw[1] // 16
     x = _aspp_lite_head(L, x, num_classes, (fh, fw))
     return keras.Model(inp, x)

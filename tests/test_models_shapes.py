@@ -82,7 +82,7 @@ _BODY_SPECS = {
         "deeplabv3p_tpu.models.mobilenetv3", "MobileNetV3SmallBody", 96, 16
     ),
     "peleenet": ("deeplabv3p_tpu.models.peleenet", "PeleeNetBody", 704, 128),
-    "ghostnet": ("deeplabv3p_tpu.models.ghostnet", "GhostNetBody", 160, 24),
+    "ghostnet": ("deeplabv3p_tpu.models.ghostnet", "GhostNetBody", 960, 24),
     "mobilevit_s": ("deeplabv3p_tpu.models.mobilevit", "MobileViTBody", 640, 64),
 }
 

@@ -1,0 +1,135 @@
+"""Provenance oracles: the REFERENCE'S OWN builders vs our Keras twins.
+
+ADVICE r2 #4: twin-based parity oracles share a risk — if keras_twin.py
+misreads the reference architecture, twin==flax passes anyway. These
+tests close that hole by instantiating the reference's own model code
+(/root/reference, unmodified) under the keras2_compat environment shims,
+transferring its randomized weights into our twin POSITIONALLY (any
+topology mismatch breaks the transfer with a shape error), and requiring
+identical outputs. Combined with the per-family twin==flax oracles in
+test_tf_parity.py, this pins reference == twin == flax.
+
+Caught in round 3 by exactly this mechanism: the reference GhostNet
+body's final `blocks_9_0` ConvBnAct 160→960 expansion
+(deeplabv3p_ghostnet.py:421-424) was missing from BOTH our body and the
+twin — a shared misreading no twin-based test could see (weight-count
+mismatch 445 vs 440 here).
+
+MobileNetV3 / MobileViT builders remain twin-only: their reference code
+trips Keras-3 removals that the shims cannot restore without rewriting
+reference lines (documented in ROUND3_NOTES.md).
+"""
+
+import numpy as np
+import pytest
+
+import keras2_compat
+import keras_twin as KT
+
+pytestmark = [pytest.mark.tf, pytest.mark.slow]
+
+
+def _softmax(a):
+    e = np.exp(a - a.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _check(make_ref, make_twin, hw):
+    keras2_compat.install()
+    ref = make_ref()
+    if isinstance(ref, tuple):  # DeepLab builders return (model, backbone_len)
+        ref = ref[0]
+    KT.randomize_keras_weights(ref, seed=41)
+    twin = make_twin()
+    assert len(ref.get_weights()) == len(twin.get_weights()), (
+        "layer-with-weights count diverged from the reference builder"
+    )
+    twin.set_weights(ref.get_weights())  # positional: same topology
+    x = np.random.RandomState(7).rand(1, hw, hw, 3).astype("float32") * 2 - 1
+    want = np.asarray(ref(x, training=False))
+    got = _softmax(
+        np.asarray(twin(x, training=False)).reshape(want.shape)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() == 1.0
+
+
+def test_reference_builder_mobilenetv2_lite():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_mobilenetv2 import (
+        Deeplabv3pLiteMobileNetV2,
+    )
+
+    _check(
+        lambda: Deeplabv3pLiteMobileNetV2(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_mobilenetv2_lite_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_xception():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_xception import Deeplabv3pXception
+
+    _check(
+        lambda: Deeplabv3pXception(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_xception_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_resnet50():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_resnet50 import Deeplabv3pResNet50
+
+    _check(
+        lambda: Deeplabv3pResNet50(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_resnet50_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_peleenet_lite():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_peleenet import Deeplabv3pLitePeleeNet
+
+    _check(
+        lambda: Deeplabv3pLitePeleeNet(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_peleenet_lite_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_ghostnet_lite():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_ghostnet import Deeplabv3pLiteGhostNet
+
+    _check(
+        lambda: Deeplabv3pLiteGhostNet(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_ghostnet_lite_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_fast_scnn():
+    keras2_compat.install()
+    from fast_scnn.models.fast_scnn import FastSCNN
+
+    # 256px: the PPM bins (2,4,6,8) need a feature map ≥ 8 at OS32
+    _check(
+        lambda: FastSCNN(
+            5, input_shape=(256, 256, 3), weights=None, training=False
+        ),
+        lambda: KT.build_fast_scnn_keras(5, (256, 256)),
+        hw=256,
+    )
