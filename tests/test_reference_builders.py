@@ -133,3 +133,87 @@ def test_reference_builder_fast_scnn():
         lambda: KT.build_fast_scnn_keras(5, (256, 256)),
         hw=256,
     )
+
+
+def _check_ref_to_flax(make_ref, model_type, hw=64, ncls=5):
+    """Strongest oracle form: reference builder → legacy h5 → STRICT flax
+    import → output parity. No twin in the loop at all; also validates
+    the h5 name mapping against a reference-authored weight layout."""
+    import h5py
+    from keras.src.legacy.saving import legacy_h5_format as lh5
+
+    keras2_compat.install()
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from deeplabv3p_tpu.models.factory import build_segmentation_model
+    from deeplabv3p_tpu.utils.keras_import import load_keras_h5_weights
+
+    ref = make_ref()
+    if isinstance(ref, tuple):
+        ref = ref[0]
+    KT.randomize_keras_weights(ref, seed=77)
+    path = tempfile.mktemp(suffix=".h5")
+    with h5py.File(path, "w") as f:
+        lh5.save_weights_to_hdf5_group(f.create_group("model_weights"), ref)
+    with h5py.File(path, "r+") as f:
+        # the RAW reference builders name the head conv 'logits_semantic';
+        # the reference's training factory re-heads it as 'conv_upsample'
+        # (reference model.py:65-76), which is the layout of every h5 the
+        # ecosystem trains/ships and the one our modules mirror
+        f["model_weights"].move("logits_semantic", "conv_upsample")
+
+    x = np.random.RandomState(5).rand(1, hw, hw, 3).astype("float32") * 2 - 1
+    want = np.asarray(ref(x, training=False))
+
+    model = build_segmentation_model(model_type, ncls)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+    )
+    variables = load_keras_h5_weights(path, variables, strict=True)
+    logits = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    got = _softmax(logits).reshape(want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() == 1.0
+
+
+def test_reference_builder_to_flax_mobilenetv2_full():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_mobilenetv2 import Deeplabv3pMobileNetV2
+
+    _check_ref_to_flax(
+        lambda: Deeplabv3pMobileNetV2(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        "mobilenetv2",
+    )
+
+
+def test_reference_builder_to_flax_ghostnet_full():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_ghostnet import Deeplabv3pGhostNet
+
+    _check_ref_to_flax(
+        lambda: Deeplabv3pGhostNet(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        "ghostnet",
+    )
+
+
+def test_reference_builder_to_flax_peleenet_full():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_peleenet import Deeplabv3pPeleeNet
+
+    _check_ref_to_flax(
+        lambda: Deeplabv3pPeleeNet(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        "peleenet",
+    )
