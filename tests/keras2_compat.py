@@ -64,7 +64,12 @@ def install():
     ka = types.ModuleType("keras_applications")
     kai = types.ModuleType("keras_applications.imagenet_utils")
 
-    def _obtain_input_shape(input_shape=None, **_kw):
+    def _obtain_input_shape(input_shape=None, default_size=None, **_kw):
+        # TF-1.x behavior, minimally: explicit shape passes through;
+        # None falls back to the square default (callers with an
+        # input_tensor re-derive rows/cols from the tensor anyway)
+        if input_shape is None and default_size:
+            return (default_size, default_size, 3)
         return input_shape
 
     kai._obtain_input_shape = _obtain_input_shape
@@ -94,12 +99,29 @@ def install():
                 kwargs["pointwise_regularizer"] = reg
             super().__init__(*args, **kwargs)
 
+    # TF-2.x allowed '/' in layer names (reference: 'Predictions/Softmax',
+    # MobileNetV3's 'Conv/BatchNorm', SE scopes); Keras 3 rejects them at
+    # the single Operation.__init__ choke point. Sanitize with the same
+    # '--' ↔ '/' convention utils/keras_import.py already uses for h5
+    # interchange, so sanitized reference names equal our twins' names.
+    from keras.src.ops.operation import Operation
+
+    if not getattr(Operation.__init__, "_keras2_compat", False):
+        orig_op_init = Operation.__init__
+
+        def _op_init(self, *args, name=None, **kwargs):
+            if isinstance(name, str) and "/" in name:
+                name = name.replace("/", "--")
+            return orig_op_init(self, *args, name=name, **kwargs)
+
+        _op_init._keras2_compat = True
+        Operation.__init__ = _op_init
+
     SM = tf.keras.layers.Softmax
 
     class SoftmaxCompat(SM):
-        """TF-2.x allowed '/' in layer names (reference uses
-        'Predictions/Softmax'); Keras 3 rejects it. Weightless layer —
-        the sanitized name affects nothing the oracles compare."""
+        """Kept for direct users of the alias; name sanitizing now
+        happens generically in Operation.__init__ above."""
 
         def __init__(self, *args, **kwargs):
             name = kwargs.get("name")

@@ -34,7 +34,7 @@ def _softmax(a):
     return e / e.sum(-1, keepdims=True)
 
 
-def _check(make_ref, make_twin, hw):
+def _check(make_ref, make_twin, hw, tol=1e-5):
     keras2_compat.install()
     ref = make_ref()
     if isinstance(ref, tuple):  # DeepLab builders return (model, backbone_len)
@@ -50,7 +50,7 @@ def _check(make_ref, make_twin, hw):
     got = _softmax(
         np.asarray(twin(x, training=False)).reshape(want.shape)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
     assert (got.argmax(-1) == want.argmax(-1)).mean() == 1.0
 
 
@@ -135,6 +135,66 @@ def test_reference_builder_fast_scnn():
     )
 
 
+def _patch_tf_version_gate():
+    """The reference's MobileViT gates on `float(tf.__version__[:3]) >=
+    2.4` (deeplabv3p_mobilevit.py:341-344) — a parse that reads '2.21'
+    as 2.2. Present a single-digit-minor version so the reference's own
+    intent (TF >= 2.4, MultiHeadAttention available) evaluates true."""
+    import tensorflow as tf
+
+    if float(tf.__version__[:3]) < 2.4:
+        tf.__version__ = "2.9.0"
+
+
+def test_reference_builder_mobilenetv3_small_lite():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_mobilenetv3 import (
+        Deeplabv3pLiteMobileNetV3Small,
+    )
+
+    _check(
+        lambda: Deeplabv3pLiteMobileNetV3Small(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_mobilenetv3_small_lite_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_mobilenetv3_large_full():
+    keras2_compat.install()
+    from deeplabv3p.models.deeplabv3p_mobilenetv3 import (
+        Deeplabv3pMobileNetV3Large,
+    )
+
+    _check(
+        lambda: Deeplabv3pMobileNetV3Large(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_mobilenetv3_large_keras(5, (64, 64)),
+        hw=64,
+    )
+
+
+def test_reference_builder_mobilevit_xxs_lite():
+    keras2_compat.install()
+    _patch_tf_version_gate()
+    from deeplabv3p.models.deeplabv3p_mobilevit import (
+        Deeplabv3pLiteMobileViT_XXS,
+    )
+
+    # MultiHeadAttention internals reorder float accumulation vs our
+    # unfold-free twin — parity lands at ~4e-5 instead of ~6e-8
+    _check(
+        lambda: Deeplabv3pLiteMobileViT_XXS(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        lambda: KT.build_mobilevit_lite_keras(5, (64, 64), size="xxs"),
+        hw=64,
+        tol=1e-3,
+    )
+
+
 def _check_ref_to_flax(make_ref, model_type, hw=64, ncls=5):
     """Strongest oracle form: reference builder → legacy h5 → STRICT flax
     import → output parity. No twin in the loop at all; also validates
@@ -216,4 +276,19 @@ def test_reference_builder_to_flax_peleenet_full():
             input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
         ),
         "peleenet",
+    )
+
+
+def test_reference_builder_to_flax_mobilevit_xxs_full():
+    """The transformer family straight from the reference's own code
+    into flax — unfolding/MHA/fold naming and math all pinned."""
+    keras2_compat.install()
+    _patch_tf_version_gate()
+    from deeplabv3p.models.deeplabv3p_mobilevit import Deeplabv3pMobileViT_XXS
+
+    _check_ref_to_flax(
+        lambda: Deeplabv3pMobileViT_XXS(
+            input_shape=(64, 64, 3), weights=None, num_classes=5, OS=16
+        ),
+        "mobilevit_xxs",
     )
