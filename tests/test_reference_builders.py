@@ -15,9 +15,10 @@ body's final `blocks_9_0` ConvBnAct 160→960 expansion
 twin — a shared misreading no twin-based test could see (weight-count
 mismatch 445 vs 440 here).
 
-MobileNetV3 / MobileViT builders remain twin-only: their reference code
-trips Keras-3 removals that the shims cannot restore without rewriting
-reference lines (documented in ROUND3_NOTES.md).
+Coverage: 9 reference↔twin oracles + 4 reference→h5→flax oracles (no
+twin in the loop; the raw builders' 'logits_semantic' head is aliased to
+the training factory's 'conv_upsample' name, reference model.py:65-76) —
+every backbone family is pinned against the reference's own builders.
 """
 
 import numpy as np
@@ -135,15 +136,21 @@ def test_reference_builder_fast_scnn():
     )
 
 
-def _patch_tf_version_gate():
+@pytest.fixture()
+def mvit_version_gate():
     """The reference's MobileViT gates on `float(tf.__version__[:3]) >=
     2.4` (deeplabv3p_mobilevit.py:341-344) — a parse that reads '2.21'
     as 2.2. Present a single-digit-minor version so the reference's own
-    intent (TF >= 2.4, MultiHeadAttention available) evaluates true."""
+    intent (TF >= 2.4, MultiHeadAttention available) evaluates true;
+    restore afterwards so jax2tf/tf-export tests in the same process see
+    the real version."""
     import tensorflow as tf
 
+    old = tf.__version__
     if float(tf.__version__[:3]) < 2.4:
         tf.__version__ = "2.9.0"
+    yield
+    tf.__version__ = old
 
 
 def test_reference_builder_mobilenetv3_small_lite():
@@ -176,9 +183,8 @@ def test_reference_builder_mobilenetv3_large_full():
     )
 
 
-def test_reference_builder_mobilevit_xxs_lite():
+def test_reference_builder_mobilevit_xxs_lite(mvit_version_gate):
     keras2_compat.install()
-    _patch_tf_version_gate()
     from deeplabv3p.models.deeplabv3p_mobilevit import (
         Deeplabv3pLiteMobileViT_XXS,
     )
@@ -279,11 +285,10 @@ def test_reference_builder_to_flax_peleenet_full():
     )
 
 
-def test_reference_builder_to_flax_mobilevit_xxs_full():
+def test_reference_builder_to_flax_mobilevit_xxs_full(mvit_version_gate):
     """The transformer family straight from the reference's own code
     into flax — unfolding/MHA/fold naming and math all pinned."""
     keras2_compat.install()
-    _patch_tf_version_gate()
     from deeplabv3p.models.deeplabv3p_mobilevit import Deeplabv3pMobileViT_XXS
 
     _check_ref_to_flax(
