@@ -32,7 +32,9 @@ def main():
         DEFAULT_CACHE_DIR, enable_compilation_cache,
     )
 
-    cache_dir = enable_compilation_cache() or DEFAULT_CACHE_DIR
+    # min_compile_secs=0: tiny probe programs compile in <1 s through the
+    # tunnel's remote-compile helper, below the production threshold.
+    cache_dir = enable_compilation_cache(min_compile_secs=0.0) or DEFAULT_CACHE_DIR
     before = set(os.listdir(cache_dir))
 
     import jax.numpy as jnp
