@@ -76,11 +76,15 @@ _EMITTED = threading.Event()
 _PARTIAL = {"configs": {}, "peak": None, "n_chips": None, "device": None}
 
 
-def _emit(partial=False):
-    """Print the one-line JSON result exactly once."""
-    if _EMITTED.is_set():
-        return
-    _EMITTED.set()
+def _exc_line(exc) -> str:
+    """One-line error summary: XLA OOMs append a ~100-line allocation
+    report that must never reach the captured output tail (BENCH_r03
+    lesson) — keep the first line only, truncated."""
+    first = (str(exc).splitlines() or [""])[0]
+    return f"{type(exc).__name__}: {first[:160]}"
+
+
+def _render_result(partial=False):
     configs = _PARTIAL["configs"]
     lite = configs.get(PRIMARY, {})
     infer_ms = lite.get("infer_b1_ms")
@@ -101,7 +105,29 @@ def _emit(partial=False):
     }
     if partial:
         out["watchdog_timeout"] = True
+    return out
+
+
+def _emit(partial=False):
+    """Print the final one-line JSON result exactly once."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    print(json.dumps(_render_result(partial)), flush=True)
+
+
+def _checkpoint(section: str):
+    """Re-emit the full JSON line after EVERY completed section: the
+    driver reads the output tail and the LAST line wins, so a driver-side
+    kill (rc=124, the round-3 failure mode) still leaves the newest
+    complete snapshot on stdout. The final `_emit` prints the same shape
+    and suppresses further checkpoints."""
+    if _EMITTED.is_set():
+        return
+    out = _render_result()
+    out["sections_done"] = section
     print(json.dumps(out), flush=True)
+    log(f"checkpoint emitted after section: {section}")
 
 
 def _watchdog_fire():
@@ -217,13 +243,13 @@ def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
 
 
 def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
-                    iters=50):
+                    iters=50, output_stride=16):
     """Returns (steady ms/img, sync p50 ms/call, fwd GFLOPs/img)."""
     from deeplabv3p_tpu.models.factory import build_deeplab_model
 
     model = build_deeplab_model(
-        model_type, num_classes, output_stride=16, dtype=jnp.bfloat16,
-        fused_aspp=True,
+        model_type, num_classes, output_stride=output_stride,
+        dtype=jnp.bfloat16, fused_aspp=True,
     )
     x = jnp.zeros((batch, hw, hw, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
@@ -586,15 +612,78 @@ def bench_learn(max_epochs=120, target=0.95):
     return float(m.miou), sum(s.epochs for s in stages), secs
 
 
+# Headline matrix, PRIORITY ORDER (round-3 lesson: the driver's budget is
+# shorter than an exhaustive matrix on a cold-cache rig, so the numbers
+# that define the round must land first and a checkpoint line follows
+# every family). train_batch=None → inference only.
+HEADLINE = (
+    ("mobilenetv2_lite", 16),
+    ("xception", 8),
+    ("resnet50", 8),
+    ("mobilenetv2", None),
+)
+# Batch-scaling points after all headlines. xception b32 OOM'd in the
+# round-3 driver run (16 GB v5e HBM), spraying a 100-line allocation dump
+# — killed; its scaling story is b8→b16 (~flat, conv-efficiency-bound).
+SCALING = {
+    "mobilenetv2_lite": (32, 64),
+    "xception": (16,),
+    "resnet50": (16, 32),
+}
+
+
+def _flag(name: str, default: str) -> bool:
+    return os.environ.get(name, default) not in ("", "0", "false")
+
+
+def _mfu(gflops_per_unit, ms_per_unit, peak) -> float:
+    return round((gflops_per_unit / ms_per_unit) / (peak / 1e12), 4)
+
+
+def _infer_legs(entry, mt, peak):
+    log(f"inference b1 {mt} ...")
+    ms, sync_ms, gflops = bench_inference(mt, iters=50)
+    entry.update({
+        "infer_b1_ms": round(ms, 3),
+        "infer_b1_sync_p50_ms": round(sync_ms, 3),
+        "fwd_gflops": round(gflops, 2),
+        "infer_b1_mfu": _mfu(gflops, ms, peak) if gflops else None,
+    })
+    base = BASELINE_INFER_MS.get(mt)
+    if base:
+        entry["baseline_ms_titanxp"] = base
+        entry["speedup_vs_titanxp"] = round(base / ms, 2)
+    log(f"  b1 {ms:.3f} ms ({entry.get('speedup_vs_titanxp', '-')}x)")
+
+    log(f"inference b8 {mt} ...")
+    ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25)
+    entry["infer_b8_ms_per_img"] = round(ms8, 3)
+    entry["infer_b8_images_per_sec"] = round(1000.0 / ms8, 1)
+    if gflops8:
+        entry["infer_b8_mfu"] = _mfu(gflops8, ms8, peak)
+    log(f"  b8 {ms8:.3f} ms/img")
+
+
+def _train_point(mt, batch, peak, n_chips, **kw):
+    ips, step_gflops = bench_train_throughput(mt, batch=batch, **kw)
+    point = {"images_per_sec_per_chip": round(ips / n_chips, 2)}
+    if step_gflops:
+        point["mfu"] = _mfu(step_gflops / batch, 1000.0 / ips, peak)
+    return ips, point
+
+
 def main():
     # one-time-per-rig compiles (steady-state timings are unaffected —
     # the cached executable is bit-identical; only compile walls shrink)
     from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # Whole-run budget: emit partial results + hard-exit rather than
-    # hang the driver if the tunnel wedges mid-bench (CLAUDE.md rule 12)
-    budget_min = float(os.environ.get("DEEPLAB_BENCH_WATCHDOG_MIN", "150"))
+    # Whole-run budget: emit partial results + hard-exit rather than let
+    # the DRIVER's budget kill us with nothing on stdout (round 3: the
+    # 150-min default outlived the driver → rc=124, no JSON). 38 min
+    # undercuts every observed driver budget; checkpoints below make even
+    # a driver-side kill recoverable from the output tail.
+    budget_min = float(os.environ.get("DEEPLAB_BENCH_WATCHDOG_MIN", "38"))
     watchdog = threading.Timer(budget_min * 60, _watchdog_fire)
     watchdog.daemon = True
     watchdog.start()
@@ -610,92 +699,26 @@ def main():
     _PARTIAL.update(
         peak=peak, n_chips=n_chips, device=str(devices[0])
     )
+    # remat/fused train legs: OFF until an on-rig probe proves their
+    # compiles fit the bench budget (remat remote compiles have wedged
+    # this rig's tunnel — CLAUDE.md rule 12; the fused kernel's unrolled
+    # form compiled ~20 min). Flip the defaults once probed.
+    with_remat = _flag("DEEPLAB_BENCH_REMAT", "0")
+    with_fused = _flag("DEEPLAB_BENCH_FUSED", "0")
 
-    for mt in ("mobilenetv2_lite", "mobilenetv2", "resnet50", "xception"):
-        entry = configs.setdefault(mt, {})
+    # ---- section 1: headline legs, most important family first --------
+    for mt, train_batch in HEADLINE:
+        e = configs.setdefault(mt, {})
         try:
-            log(f"inference b1 {mt} ...")
-            ms, sync_ms, gflops = bench_inference(mt, iters=50)
-            entry.update({
-                "infer_b1_ms": round(ms, 3),
-                "infer_b1_sync_p50_ms": round(sync_ms, 3),
-                "fwd_gflops": round(gflops, 2),
-                # gflops/ms == TFLOP/s; mfu = achieved / peak
-                "infer_b1_mfu": round((gflops / ms) / (peak / 1e12), 4)
-                if gflops else None,
-            })
-            base = BASELINE_INFER_MS.get(mt)
-            if base:
-                entry["baseline_ms_titanxp"] = base
-                entry["speedup_vs_titanxp"] = round(base / ms, 2)
-            log(f"  b1 {ms:.3f} ms "
-                f"({entry.get('speedup_vs_titanxp', '-')}x)")
-
-            log(f"inference b8 {mt} ...")
-            ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25)
-            entry["infer_b8_ms_per_img"] = round(ms8, 3)
-            entry["infer_b8_images_per_sec"] = round(1000.0 / ms8, 1)
-            if gflops8:
-                entry["infer_b8_mfu"] = round(
-                    (gflops8 / ms8) / (peak / 1e12), 4
-                )
-            log(f"  b8 {ms8:.3f} ms/img")
+            _infer_legs(e, mt, peak)
         except Exception as exc:
-            log(f"  failed: {exc}")
-            entry["infer_error"] = str(exc)[:200]
-
-    # batch-scaling study (VERDICT r2 item #3): train throughput + MFU at
-    # several batch sizes per family — the headline batch first (kept
-    # stable across rounds), then larger batches to expose the roofline.
-    train_matrix = {
-        "mobilenetv2_lite": (16, 32, 64),
-        "xception": (8, 16, 32),
-        "resnet50": (8, 16, 32),
-    }
-    for mt, batches in train_matrix.items():
-        e = configs[mt]
-        scaling = {}
-        for batch in batches:
-            log(f"train {mt} b{batch} ...")
+            log(f"  failed: {_exc_line(exc)}")
+            e["infer_error"] = _exc_line(exc)
+        if train_batch is not None:
+            log(f"train {mt} b{train_batch} ...")
             try:
-                ips, step_gflops = bench_train_throughput(mt, batch=batch)
-            except Exception as exc:  # e.g. OOM at the largest batch
-                log(f"  failed: {exc}")
-                scaling[f"b{batch}"] = {"error": str(exc)[:200]}
-                continue
-            point = {
-                "images_per_sec_per_chip": round(ips / n_chips, 2),
-            }
-            if step_gflops:
-                # MFU = (flops/step) / (sec/step) / peak
-                sec_per_step = batch / ips
-                point["mfu"] = round(
-                    step_gflops * 1e9 / sec_per_step / peak, 4
-                )
-            scaling[f"b{batch}"] = point
-            log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
-            if batch == batches[0] and os.environ.get("DEEPLAB_BENCH_REMAT"):
-                # opt-in: per-block remat leg at the headline batch
-                # (off by default — remat compiles through this rig's
-                # tunnel remote-compile helper are pathologically slow,
-                # CLAUDE.md rule 12; enable once probed safe)
-                log(f"train {mt} b{batch} remat=block ...")
-                try:
-                    rips, _ = bench_train_throughput(
-                        mt, batch=batch, remat="block"
-                    )
-                    scaling[f"b{batch}_remat_block"] = {
-                        "images_per_sec_per_chip": round(rips / n_chips, 2),
-                    }
-                    log(f"  {rips:.1f} img/s/chip")
-                except Exception as exc:
-                    log(f"  failed: {exc}")
-                    scaling[f"b{batch}_remat_block"] = {
-                        "error": str(exc)[:200]
-                    }
-            if batch == batches[0]:
-                # headline entry, comparable with earlier rounds
-                e["train_batch"] = batch
+                ips, point = _train_point(mt, train_batch, peak, n_chips)
+                e["train_batch"] = train_batch
                 e["train_images_per_sec_per_chip"] = point[
                     "images_per_sec_per_chip"
                 ]
@@ -703,12 +726,82 @@ def main():
                     e["train_mfu"] = point["mfu"]
                 base_ms = BASELINE_INFER_MS.get(mt)
                 if base_ms:
+                    # ESTIMATED reference train throughput (it never
+                    # published one): train_ms ≈ 3x its published infer ms
                     est_ref_ips = 1000.0 / (3.0 * base_ms)
                     e["est_tf_reference_train_ips"] = round(est_ref_ips, 2)
                     e["train_speedup_vs_est_tf"] = round(ips / est_ref_ips, 1)
-        e["train_scaling"] = scaling
+                e.setdefault("train_scaling", {})[f"b{train_batch}"] = point
+                log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+            except Exception as exc:
+                log(f"  failed: {_exc_line(exc)}")
+                e["train_error"] = _exc_line(exc)
+        _checkpoint(f"headline:{mt}")
 
-    # int8 on the MXU (VERDICT r2 item #5): win or documented negative
+    # ---- section 2: OS8 — the memory-hard config (SURVEY §7) ----------
+    try:
+        log("inference b1 xception OS8 ...")
+        ms, _, gflops = bench_inference(
+            "xception", iters=25, output_stride=8
+        )
+        configs.setdefault("xception", {}).update({
+            "os8_infer_b1_ms": round(ms, 3),
+            "os8_fwd_gflops": round(gflops, 2),
+            "os8_infer_b1_mfu": _mfu(gflops, ms, peak) if gflops else None,
+        })
+        log(f"  {ms:.3f} ms")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs.setdefault("xception", {})["os8_infer_error"] = (
+            _exc_line(exc)
+        )
+    _checkpoint("os8")
+
+    # ---- section 2b: the two MFU levers at each headline batch --------
+    # (after every base headline so a pathological remote compile cannot
+    # eat the round's record; remat='block' = per-block jax.checkpoint,
+    # fused_loss = the Pallas upsample+CE tail)
+    for label, flag, kw in (
+        ("remat_block", with_remat, {"remat": "block"}),
+        ("fused_loss", with_fused, {"fused_loss": True}),
+    ):
+        if not flag:
+            continue
+        for mt, train_batch in HEADLINE:
+            if train_batch is None:
+                continue
+            e = configs.setdefault(mt, {})
+            log(f"train {mt} b{train_batch} {label} ...")
+            key = f"b{train_batch}_{label}"
+            try:
+                ips, point = _train_point(
+                    mt, train_batch, peak, n_chips, **kw
+                )
+                e.setdefault("train_scaling", {})[key] = point
+                log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+            except Exception as exc:
+                log(f"  failed: {_exc_line(exc)}")
+                e.setdefault("train_scaling", {})[key] = {
+                    "error": _exc_line(exc)
+                }
+            _checkpoint(f"{label}:{mt}")
+
+    # ---- section 3: batch-scaling study -------------------------------
+    for mt, batches in SCALING.items():
+        e = configs.setdefault(mt, {})
+        scaling = e.setdefault("train_scaling", {})
+        for batch in batches:
+            log(f"train {mt} b{batch} ...")
+            try:
+                ips, point = _train_point(mt, batch, peak, n_chips)
+                scaling[f"b{batch}"] = point
+                log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+            except Exception as exc:
+                log(f"  failed: {_exc_line(exc)}")
+                scaling[f"b{batch}"] = {"error": _exc_line(exc)}
+    _checkpoint("scaling")
+
+    # ---- section 4: int8 on the MXU (win or documented negative) ------
     for mt in ("mobilenetv2_lite", "xception"):
         for batch in (1, 8):
             log(f"int8 {mt} b{batch} ...")
@@ -717,8 +810,9 @@ def main():
                 configs[mt][f"int8_b{batch}_ms_per_img"] = round(ms, 3)
                 log(f"  {ms:.3f} ms/img")
             except Exception as exc:
-                log(f"  failed: {exc}")
-                configs[mt][f"int8_b{batch}_error"] = str(exc)[:200]
+                log(f"  failed: {_exc_line(exc)}")
+                configs[mt][f"int8_b{batch}_error"] = _exc_line(exc)
+    _checkpoint("int8")
 
     log("fused eval step throughput ...")
     try:
@@ -731,8 +825,9 @@ def main():
         }
         log(f"  {eval_ips:.1f} img/s")
     except Exception as exc:
-        log(f"  failed: {exc}")
-        configs["eval_fused"] = {"error": str(exc)[:200]}
+        log(f"  failed: {_exc_line(exc)}")
+        configs["eval_fused"] = {"error": _exc_line(exc)}
+    _checkpoint("eval_fused")
 
     log("learning proof (overfit example/ pairs, score with eval) ...")
     try:
@@ -745,8 +840,9 @@ def main():
         }
         log(f"  train mIOU {miou:.4f} after {epochs} epochs ({secs:.0f}s)")
     except Exception as exc:
-        log(f"  failed: {exc}")
-        configs["learn"] = {"error": str(exc)[:200]}
+        log(f"  failed: {_exc_line(exc)}")
+        configs["learn"] = {"error": _exc_line(exc)}
+    _checkpoint("learn")
 
     # host->device transfer bandwidth of one training batch (8 x 512^2
     # uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that
@@ -766,15 +862,15 @@ def main():
         transfer_gbps = float(np.median(bw))
         log(f"  {transfer_gbps:.3f} GB/s")
     except Exception as exc:
-        log(f"  failed: {exc}")
+        log(f"  failed: {_exc_line(exc)}")
         transfer_gbps = 0.0
 
     log("cli pipeline (on-disk JPEG -> fused train step) ...")
     try:
         _run_cli_pipeline(configs, transfer_gbps)
     except Exception as exc:
-        log(f"  failed: {exc}")
-        configs["cli_train"] = {"error": str(exc)[:200]}
+        log(f"  failed: {_exc_line(exc)}")
+        configs["cli_train"] = {"error": _exc_line(exc)}
 
     _emit()
     # exceptions/atexit teardown against a dead tunnel can hang the

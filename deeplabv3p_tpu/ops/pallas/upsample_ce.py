@@ -52,10 +52,15 @@ bench.bench_train_throughput(fused_loss=True)):
 The end-to-end win is smaller than the phase profile's +3.2 ms
 loss-tail cost because XLA already fuses part of the tail into the
 resize; the kernel's remaining value is the ~280 MB/step HBM traffic it
-removes and the full-res-logits-free memory profile. Caveat: the
-21-class unrolled Mosaic module compiles slowly (~20 min through the
-tunnel's remote-compile helper vs ~4 min unfused), which is why the
-driver bench does not carry a fused train entry by default.
+removes and the full-res-logits-free memory profile.
+
+Compile cost: the class loops are `lax.fori_loop`s whose body Mosaic
+compiles ONCE, with the class index a dynamic slice on the untiled
+leading dim of the VMEM-resident class-major block. The original
+statically-unrolled 21-class form compiled ~20 min through the tunnel's
+remote-compile helper (vs ~4 min unfused), which kept `--fused_loss`
+out of the driver bench (VERDICT r3 #3); see ROUND4_NOTES.md for the
+measured fori_loop compile time on this rig.
 
 Off-TPU the kernel runs under interpret=True (CPU-mesh tests).
 Gradients w.r.t. labels/sample/class weights are NOT provided (zeros) —
@@ -122,20 +127,29 @@ def _fwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref,
     wpx = wpx_ref[0]  # (TH, W) f32, 0 at ignore/out-of-range pixels
     th, wo = labels.shape
 
-    # online logsumexp + lowest-index argmax + target-logit pick over
-    # the static class loop — every carry is a 2-D (TH, W) vector
-    m = jnp.full((th, wo), -jnp.inf, jnp.float32)
-    s = jnp.zeros((th, wo), jnp.float32)
-    zl = jnp.zeros((th, wo), jnp.float32)
-    best = jnp.zeros((th, wo), jnp.int32)
-    for k in range(c):
+    # online logsumexp + lowest-index argmax + target-logit pick over a
+    # fori_loop class loop — every carry is a 2-D (TH, W) vector. The
+    # loop body is compiled ONCE (a statically-unrolled 21-class version
+    # took ~20 min of Mosaic compile through the tunnel's remote-compile
+    # helper — VERDICT r3 #3); the class index is a dynamic slice on the
+    # untiled leading dim of the VMEM-resident logits block.
+    def body(k, carry):
+        m, s, zl, best = carry
         zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
         upd = zu > m  # strict: ties keep the lower class index
         best = jnp.where(upd, k, best)
         m_new = jnp.where(upd, zu, m)
         s = s * jnp.exp(m - m_new) + jnp.exp(zu - m_new)
-        m = m_new
         zl = zl + jnp.where(labels == k, zu, 0.0)
+        return m_new, s, zl, best
+
+    m, s, zl, best = jax.lax.fori_loop(
+        0, c, body,
+        (jnp.full((th, wo), -jnp.inf, jnp.float32),
+         jnp.zeros((th, wo), jnp.float32),
+         jnp.zeros((th, wo), jnp.float32),
+         jnp.zeros((th, wo), jnp.int32)),
+    )
 
     lse = jnp.log(s) + m
     # wpx is already 0 at invalid pixels (zl stays 0 there, lse finite)
@@ -160,14 +174,19 @@ def _bwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref, rw_ref,
     wpx = wpx_ref[0]
     th, wo = labels.shape
 
-    # pass 1: recompute the online logsumexp
-    m = jnp.full((th, wo), -jnp.inf, jnp.float32)
-    s = jnp.zeros((th, wo), jnp.float32)
-    for k in range(c):
+    # pass 1: recompute the online logsumexp (fori_loop — see _fwd_kernel
+    # on why the class loops must not be statically unrolled)
+    def lse_body(k, carry):
+        m, s = carry
         zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
         m_new = jnp.maximum(m, zu)
-        s = s * jnp.exp(m - m_new) + jnp.exp(zu - m_new)
-        m = m_new
+        return m_new, s * jnp.exp(m - m_new) + jnp.exp(zu - m_new)
+
+    m, s = jax.lax.fori_loop(
+        0, c, lse_body,
+        (jnp.full((th, wo), -jnp.inf, jnp.float32),
+         jnp.zeros((th, wo), jnp.float32)),
+    )
     lse = jnp.log(s) + m
 
     @pl.when(ti == 0)
@@ -175,8 +194,10 @@ def _bwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref, rw_ref,
         dlr_ref[0] = jnp.zeros_like(dlr_ref[0])
 
     # pass 2: d_lr[k] = R_h^T [(softmax_k - 1[l=k]) * w_px] R_w
-    # (the loss cotangent g scales the result OUTSIDE the kernel)
-    for k in range(c):
+    # (the loss cotangent g scales the result OUTSIDE the kernel); the
+    # dynamic-k read-modify-write accumulates across this batch item's
+    # row tiles (the dlr block is tile-invariant)
+    def grad_body(k, _):
         zu = _upsample_class(logits_ref[0, k], rh_t, rw_t)
         pk = jnp.exp(zu - lse)
         t_k = (labels == k).astype(jnp.float32)
@@ -189,7 +210,10 @@ def _bwd_kernel(logits_ref, labels_ref, wpx_ref, rh_ref, rwt_ref, rw_ref,
             rh_t, d_a, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (h, w)
-        dlr_ref[0, k] += d_k
+        dlr_ref[0, k] = dlr_ref[0, k] + d_k
+        return 0
+
+    jax.lax.fori_loop(0, c, grad_body, 0)
 
 
 def _common_specs(cc, h, w, th, wo):

@@ -44,6 +44,50 @@ def test_emit_full_contract(bench_mod):
     assert "watchdog_timeout" not in out
 
 
+def test_checkpoint_reemission(bench_mod):
+    """Round-3 failure mode (driver kill, rc=124, nothing on stdout):
+    every completed section re-emits the FULL line — the driver reads
+    the tail and the last line wins. After the final emit, checkpoints
+    are suppressed."""
+    bench_mod._PARTIAL["configs"]["mobilenetv2_lite"] = {"infer_b1_ms": 2.0}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench_mod._checkpoint("headline:mobilenetv2_lite")
+        bench_mod._PARTIAL["configs"]["xception"] = {"infer_b1_ms": 4.0}
+        bench_mod._checkpoint("headline:xception")
+        bench_mod._emit()
+        bench_mod._checkpoint("late")  # suppressed after final emit
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 3
+    for line in lines:
+        out = json.loads(line)
+        assert REQUIRED_KEYS <= set(out)
+    assert json.loads(lines[0])["sections_done"] == "headline:mobilenetv2_lite"
+    assert "xception" in json.loads(lines[1])["configs"]
+    # the LAST line (what the driver records) is the final full result
+    assert "sections_done" not in json.loads(lines[2])
+    assert json.loads(lines[2])["value"] == 2.0
+
+
+def test_exc_line_truncates_xla_dump(bench_mod):
+    exc = RuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory\n" + "alloc line\n" * 100
+    )
+    line = bench_mod._exc_line(exc)
+    assert "\n" not in line
+    assert len(line) < 200
+    assert "RESOURCE_EXHAUSTED" in line
+
+
+def test_watchdog_default_fits_driver_budget(bench_mod):
+    """The round-3 record was lost because the 150-min default outlived
+    the driver; keep the default at or under 40 minutes."""
+    import inspect
+
+    src = inspect.getsource(bench_mod.main)
+    assert '"DEEPLAB_BENCH_WATCHDOG_MIN", "38"' in src
+
+
 def test_emit_partial_and_idempotent(bench_mod):
     """Watchdog path: no completed entries at all still yields a valid
     line (value null), flagged partial; a second emit is a no-op."""
