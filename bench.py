@@ -699,12 +699,15 @@ def main():
     _PARTIAL.update(
         peak=peak, n_chips=n_chips, device=str(devices[0])
     )
-    # remat/fused train legs: OFF until an on-rig probe proves their
-    # compiles fit the bench budget (remat remote compiles have wedged
-    # this rig's tunnel — CLAUDE.md rule 12; the fused kernel's unrolled
-    # form compiled ~20 min). Flip the defaults once probed.
-    with_remat = _flag("DEEPLAB_BENCH_REMAT", "0")
-    with_fused = _flag("DEEPLAB_BENCH_FUSED", "0")
+    # remat/fused train legs: ON by default since the round-4 on-rig
+    # probe (tools/misc/round4_probe.py, /tmp/round4_probe.log) proved
+    # their compiles fit the budget — every lever leg completed in
+    # 115-290 s wall INCLUDING its cold compile (the fused kernel's old
+    # 21-class unroll was the ~20-min offender; the fori_loop rewrite
+    # fixed it, and per-block remat compiles fine where whole-backbone
+    # remat never finished — CLAUDE.md rule 12).
+    with_remat = _flag("DEEPLAB_BENCH_REMAT", "1")
+    with_fused = _flag("DEEPLAB_BENCH_FUSED", "1")
 
     # ---- section 1: headline legs, most important family first --------
     for mt, train_batch in HEADLINE:
@@ -762,8 +765,10 @@ def main():
     # eat the round's record; remat='block' = per-block jax.checkpoint,
     # fused_loss = the Pallas upsample+CE tail)
     for label, flag, kw in (
-        ("remat_block", with_remat, {"remat": "block"}),
+        # fused first: it's the measured WIN lever (xception); remat is
+        # the measured-negative documentation leg (round4_probe{,2}.log)
         ("fused_loss", with_fused, {"fused_loss": True}),
+        ("remat_block", with_remat, {"remat": "block"}),
     ):
         if not flag:
             continue

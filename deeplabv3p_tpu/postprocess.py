@@ -59,34 +59,46 @@ def unary_from_labels(
 
 
 def _gaussian_kernel2d(sigma: float, radius: int) -> np.ndarray:
+    """Raw truncated-Gaussian taps (self loop INCLUDED, unnormalized —
+    normalization is the per-pixel symmetric D^-1/2 K D^-1/2 applied in
+    _spatial_message, matching pydensecrf/densecrf2 kernel semantics;
+    see crf_exact_dense)."""
     xs = np.arange(-radius, radius + 1)
     k1 = np.exp(-(xs**2) / (2.0 * sigma**2))
-    k2 = np.outer(k1, k1)
-    k2[radius, radius] = 0.0  # self-interaction excluded (dense CRF defn)
-    return (k2 / k2.sum()).astype(np.float32)
+    return np.outer(k1, k1).astype(np.float32)
 
 
-def _spatial_message(q: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Per-class conv of Q (H, W, C) with the spatial kernel: classes ride
+def _spatial_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Per-channel conv of (H, W, C) with the spatial taps: channels ride
     the batch dimension, so one (1-in, 1-out) conv covers all of them."""
-    x = q.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    xt = x.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
     k = kernel[None, None]  # (1, 1, kh, kw)
     y = jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        xt, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
     )
     return y[:, 0].transpose(1, 2, 0)
 
 
-def _bilateral_grid_message(
+def _spatial_message(q: jax.Array, kernel: jax.Array,
+                     rs: jax.Array) -> jax.Array:
+    """Symmetric-normalized spatial message D^-1/2 K (D^-1/2 Q): rs is
+    the precomputed per-pixel 1/sqrt(K @ 1) (truncation-aware — at the
+    image border the kernel mass shrinks and rs grows to compensate,
+    exactly like the dense oracle's row sums)."""
+    return rs * _spatial_conv(q * rs, kernel)
+
+
+def _bilateral_grid_filter(
     q: jax.Array, luma: jax.Array, sxy: float, srgb: float,
     space_step: int, n_bins: int,
 ) -> jax.Array:
-    """Luminance-guided bilateral filtering of Q via a coarse grid.
-
-    splat → gaussian blur over (gy, gx, bin) → slice. Grid cell sizes are
-    chosen so the reference sigmas become ~2 cells, keeping the blur
-    kernels tiny.
-    """
+    """Raw (unnormalized) luminance-guided bilateral filter K @ Q of
+    (H, W, C) values via a coarse grid: splat → gaussian blur over
+    (gy, gx, bin) → slice. Grid cell sizes are chosen so the reference
+    sigmas become ~2 cells, keeping the blur kernels tiny. Normalization
+    is the caller's job (crf_inference applies the symmetric
+    D^-1/2 K D^-1/2 with D = this filter of ones, computed once per
+    image — pydensecrf's kernel normalization; see crf_exact_dense)."""
     h, w, c = q.shape
     gh, gw = h // space_step + 2, w // space_step + 2
 
@@ -108,10 +120,7 @@ def _bilateral_grid_message(
     n_chunks = -(-n_pix // chunk)
     pad = n_chunks * chunk - n_pix
     flat_p = jnp.pad(flat, (0, pad), constant_values=grid_size)  # spill bin
-    vals = jnp.concatenate(
-        [q.reshape(n_pix, c), jnp.ones((n_pix, 1), jnp.float32)], axis=-1
-    )
-    vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
+    vals_p = jnp.pad(q.reshape(n_pix, c), ((0, pad), (0, 0)))
 
     bin_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, grid_size), 1)
 
@@ -122,13 +131,12 @@ def _bilateral_grid_message(
             onehot.T, val_c, preferred_element_type=jnp.float32
         ), None
 
-    acc0 = jnp.zeros((grid_size, c + 1), jnp.float32)
-    acc, _ = jax.lax.scan(
+    acc0 = jnp.zeros((grid_size, c), jnp.float32)
+    q_grid, _ = jax.lax.scan(
         body, acc0,
-        (flat_p.reshape(n_chunks, chunk), vals_p.reshape(n_chunks, chunk, c + 1)),
+        (flat_p.reshape(n_chunks, chunk),
+         vals_p.reshape(n_chunks, chunk, c)),
     )
-    q_grid = acc[:, :c]  # (grid, C)
-    w_grid = acc[:, c]  # (grid,)
 
     # blur over grid: sigma in grid units
     s_space = sxy / space_step
@@ -158,22 +166,18 @@ def _bilateral_grid_message(
         return out
 
     shaped_q = q_grid.reshape(gh, gw, n_bins, c)
-    shaped_w = w_grid.reshape(gh, gw, n_bins)
     for axis, sigma in ((0, s_space), (1, s_space), (2, s_luma)):
         shaped_q = blur_axis(shaped_q, sigma, axis)
-        shaped_w = blur_axis(shaped_w, sigma, axis)
 
     sliced_q = shaped_q.reshape(grid_size, c)[flat_idx.reshape(-1)]
-    sliced_w = shaped_w.reshape(grid_size)[flat_idx.reshape(-1)]
-    out = sliced_q / jnp.maximum(sliced_w, 1e-8)[:, None]
-    return out.reshape(h, w, c)
+    return sliced_q.reshape(h, w, c)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "n_iters", "sxy_gaussian", "compat_gaussian", "sxy_bilateral",
-        "srgb_bilateral", "compat_bilateral",
+        "srgb_bilateral", "compat_bilateral", "space_step", "n_bins",
     ),
 )
 def crf_inference(
@@ -185,26 +189,114 @@ def crf_inference(
     sxy_bilateral: float = 80.0,
     srgb_bilateral: float = 13.0,
     compat_bilateral: float = 10.0,
+    space_step: int = 16,
+    n_bins: int = 16,
 ) -> jax.Array:
-    """Mean-field dense-CRF inference; returns Q (H, W, C)."""
-    c = unary.shape[-1]
+    """Mean-field dense-CRF inference; returns Q (H, W, C).
+
+    space_step/n_bins control the bilateral grid resolution; the
+    defaults sit on the converged plateau of the sensitivity sweep vs
+    the exact dense oracle (tools/misc/crf_parity_study.py, VERDICT r3
+    #4 — see ROUND4_NOTES.md for the measured agreement table)."""
     radius = int(np.ceil(3 * sxy_gaussian))
     g_kernel = jnp.asarray(_gaussian_kernel2d(sxy_gaussian, radius))
     luma = (
         image[..., 0] * 0.299 + image[..., 1] * 0.587 + image[..., 2] * 0.114
     )
 
+    # per-pixel symmetric normalizers 1/sqrt(K @ 1) — constant across
+    # mean-field iterations, computed once per image
+    ones1 = jnp.ones(unary.shape[:2] + (1,), jnp.float32)
+    rs_gauss = jax.lax.rsqrt(
+        jnp.maximum(_spatial_conv(ones1, g_kernel), 1e-20)
+    )
+    grid_kw = dict(
+        sxy=sxy_bilateral, srgb=srgb_bilateral,
+        space_step=space_step, n_bins=n_bins,
+    )
+    rs_bilat = jax.lax.rsqrt(
+        jnp.maximum(_bilateral_grid_filter(ones1, luma, **grid_kw), 1e-20)
+    )
+
     q = jax.nn.softmax(-unary, axis=-1)
     for _ in range(n_iters):
-        m_gauss = _spatial_message(q, g_kernel)
-        m_bilat = _bilateral_grid_message(
-            q, luma, sxy_bilateral, srgb_bilateral, space_step=32, n_bins=16
+        m_gauss = _spatial_message(q, g_kernel, rs_gauss)
+        m_bilat = rs_bilat * _bilateral_grid_filter(
+            q * rs_bilat, luma, **grid_kw
         )
         # Potts: penalty for label a = sum_{b != a} message_b
         agg = compat_gaussian * m_gauss + compat_bilateral * m_bilat
         pairwise = jnp.sum(agg, axis=-1, keepdims=True) - agg
         q = jax.nn.softmax(-unary - pairwise, axis=-1)
     return q
+
+
+def crf_exact_dense(
+    unary: np.ndarray,  # (H, W, C) negative-log unaries
+    image: np.ndarray,  # (H, W, 3) float 0..255
+    n_iters: int = 5,
+    sxy_gaussian: float = 3.0,
+    compat_gaussian: float = 3.0,
+    sxy_bilateral: float = 80.0,
+    srgb_bilateral: float = 13.0,
+    compat_bilateral: float = 10.0,
+    bilateral_features: str = "rgb",  # "rgb" (pydensecrf) | "luma"
+) -> np.ndarray:
+    """Exact O(N^2) dense mean-field CRF — the mathematical target that
+    pydensecrf's permutohedral lattice itself only APPROXIMATES
+    (Krahenbuhl & Koltun, NIPS'11; reference postprocess_np.py:10-28
+    wraps that approximation). pydensecrf is not installable in this
+    environment, so this brute-force oracle is the parity ground truth
+    for crf_inference's bilateral-grid approximation (tests/
+    test_crf_parity.py quantifies the agreement VERDICT r3 #4 asked for).
+
+    Semantics follow pydensecrf's defaults (densecrf2 kernel.cpp):
+    full pairwise kernel INCLUDING the self loop (the lattice filters a
+    pixel's own value back), symmetric normalization
+    K~ = D^-1/2 K D^-1/2 with D = K @ 1, Potts compatibility, update
+    Q <- softmax(-U + sum_k compat_k * (K~_k @ Q)) — the Potts
+    "penalize every other label" form differs from this by a per-pixel
+    constant that softmax cancels.
+
+    Builds (N, N) kernels: small images only (N = H*W <= ~30k).
+
+    bilateral_features="luma" restricts the color distance to the
+    BT.601 luminance crf_inference's grid uses — comparing both oracle
+    flavors decomposes grid-approximation error from luma-projection
+    error.
+    """
+    h, w, c = unary.shape
+    n = h * w
+    ys, xs = np.mgrid[0:h, 0:w]
+    pos = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64)
+    img = np.asarray(image, np.float64).reshape(n, 3)
+    if bilateral_features == "luma":
+        img = (img @ np.array([0.299, 0.587, 0.114]))[:, None]
+
+    def ktilde(feat):
+        sq = np.einsum("nd,nd->n", feat, feat)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (feat @ feat.T)
+        k = np.exp(-0.5 * np.maximum(d2, 0.0))
+        d = k.sum(axis=1)
+        inv_sqrt = 1.0 / np.sqrt(d + 1e-20)
+        return (k * inv_sqrt[:, None]) * inv_sqrt[None, :]
+
+    kg = ktilde(pos / sxy_gaussian)
+    kb = ktilde(
+        np.concatenate([pos / sxy_bilateral, img / srgb_bilateral], -1)
+    )
+    u = np.asarray(unary, np.float64).reshape(n, c)
+
+    def softmax(z):
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    q = softmax(-u)
+    for _ in range(n_iters):
+        q = softmax(-u + compat_gaussian * (kg @ q)
+                    + compat_bilateral * (kb @ q))
+    return q.reshape(h, w, c).astype(np.float32)
 
 
 def crf_postprocess(
