@@ -542,6 +542,30 @@ def bench_eval_throughput(model_type="mobilenetv2_lite", hw=512, batch=8,
     return batch / (ms / 1e3)
 
 
+def bench_crf(hw=512, num_classes=21, n_iters=5, iters=10):
+    """Dense-CRF mean-field postprocess (C19) steady-state ms/image on
+    the device. The reference executes this CPU-side through pydensecrf
+    (postprocess_np.py:10-28) and SURVEY.md flags it as the inference
+    pipeline's CPU hot spot; crf_inference is the TPU message-passing
+    kernel SURVEY §7 targets (gaussian conv + bilateral grid, symmetric
+    pydensecrf normalization — parity pinned by tests/test_crf_parity.py).
+    Unaries + image are generated on device (CLAUDE.md rule 7)."""
+    from deeplabv3p_tpu.postprocess import crf_inference
+
+    image = jax.random.uniform(
+        jax.random.PRNGKey(0), (hw, hw, 3), jnp.float32, 0.0, 255.0
+    )
+    unary = jax.random.normal(
+        jax.random.PRNGKey(1), (hw, hw, num_classes), jnp.float32
+    )
+
+    def chain(u):
+        q = crf_inference(u, image, n_iters=n_iters)
+        return q, u + q * 1e-6  # next unary depends on this result
+
+    return _steady_state_ms(chain, unary, warmup=2, iters=iters)
+
+
 def bench_learn(max_epochs=120, target=0.95):
     """End-to-end LEARNING proof on the device (VERDICT r2 item #1):
     overfit the vendored example/ pairs (+augmented copies) with the
@@ -833,6 +857,24 @@ def main():
         log(f"  failed: {_exc_line(exc)}")
         configs["eval_fused"] = {"error": _exc_line(exc)}
     _checkpoint("eval_fused")
+
+    log("dense-CRF postprocess on device ...")
+    try:
+        crf_ms = bench_crf()
+        configs["crf_postprocess"] = {
+            "input": 512, "num_classes": 21, "n_iters": 5,
+            "ms_per_image": round(crf_ms, 3),
+            "note": "reference runs this on the host CPU via pydensecrf "
+                    "(postprocess_np.py:10-28, the pipeline's CPU hot "
+                    "spot, typically O(1 s)/image at this size); no "
+                    "in-env baseline is measurable (pydensecrf not "
+                    "installable)",
+        }
+        log(f"  {crf_ms:.3f} ms/image")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs["crf_postprocess"] = {"error": _exc_line(exc)}
+    _checkpoint("crf_postprocess")
 
     log("learning proof (overfit example/ pairs, score with eval) ...")
     try:
