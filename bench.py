@@ -230,16 +230,23 @@ def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
     p, x0 = run_2k(x0)
     float(p)
 
-    t0 = time.perf_counter()
-    p, x0 = run_k(x0)
-    float(p)
-    t_k = time.perf_counter() - t0
+    # Median of THREE window pairs: for sub-ms kernels the K-step window
+    # (~10-20 ms of device time) rides on a ~50 ms tunnel RPC whose
+    # jitter can dominate a single (T_2K - T_K) difference — round 4
+    # caught a 4x outlier on the mnv2-lite b1 leg this way.
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, x0 = run_k(x0)
+        float(p)
+        t_k = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    p, x0 = run_2k(x0)
-    float(p)
-    t_2k = time.perf_counter() - t0
-    return max(t_2k - t_k, 1e-9) * 1e3 / k
+        t0 = time.perf_counter()
+        p, x0 = run_2k(x0)
+        float(p)
+        t_2k = time.perf_counter() - t0
+        diffs.append(max(t_2k - t_k, 1e-9) * 1e3 / k)
+    return float(np.median(diffs))
 
 
 def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,

@@ -58,25 +58,30 @@ def unary_from_labels(
     return one_hot * p_energy + (1.0 - one_hot) * n_energy
 
 
-def _gaussian_kernel2d(sigma: float, radius: int) -> np.ndarray:
-    """Raw truncated-Gaussian taps (self loop INCLUDED, unnormalized —
-    normalization is the per-pixel symmetric D^-1/2 K D^-1/2 applied in
-    _spatial_message, matching pydensecrf/densecrf2 kernel semantics;
-    see crf_exact_dense)."""
+def _gaussian_taps1d(sigma: float, radius: int) -> np.ndarray:
+    """Raw truncated-Gaussian 1-D taps (self loop INCLUDED, unnormalized
+    — normalization is the per-pixel symmetric D^-1/2 K D^-1/2 applied
+    in _spatial_message, matching pydensecrf/densecrf2 kernel semantics;
+    see crf_exact_dense). The 2-D kernel is the outer product, applied
+    SEPARABLY in _spatial_conv (exact: zero-padded 2-D conv with an
+    outer-product kernel == two 1-D convs), 2*(2r+1) taps instead of
+    (2r+1)^2 — 1-in/1-out spatial convs have no channel contraction for
+    the MXU, so tap count is the cost."""
     xs = np.arange(-radius, radius + 1)
-    k1 = np.exp(-(xs**2) / (2.0 * sigma**2))
-    return np.outer(k1, k1).astype(np.float32)
+    return np.exp(-(xs**2) / (2.0 * sigma**2)).astype(np.float32)
 
 
-def _spatial_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Per-channel conv of (H, W, C) with the spatial taps: channels ride
-    the batch dimension, so one (1-in, 1-out) conv covers all of them."""
+def _spatial_conv(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """Separable per-channel conv of (H, W, C) with the 1-D Gaussian
+    taps: channels ride the batch dimension, so one (1-in, 1-out) conv
+    covers all of them; height then width pass."""
     xt = x.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
-    k = kernel[None, None]  # (1, 1, kh, kw)
-    y = jax.lax.conv_general_dilated(
-        xt, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )
-    return y[:, 0].transpose(1, 2, 0)
+    for k in (taps[None, None, :, None], taps[None, None, None, :]):
+        xt = jax.lax.conv_general_dilated(
+            xt, k, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+    return xt[:, 0].transpose(1, 2, 0)
 
 
 def _spatial_message(q: jax.Array, kernel: jax.Array,
@@ -112,29 +117,44 @@ def _bilateral_grid_filter(
     grid_size = gh * gw * n_bins
 
     # Splat via chunked one-hot matmuls instead of scatter-add: TPU
-    # scatters serialize, while (G x P) @ (P x C+1) rides the MXU. Pixels
-    # stream in chunks to bound the one-hot tile.
-    flat = flat_idx.reshape(-1)
-    n_pix = flat.shape[0]
+    # scatters serialize, while (G x P) @ (P x C) rides the MXU. Pixels
+    # stream in chunks to bound the one-hot tile. The (position x bin)
+    # index is FACTORED: a (chunk, n_pos) spatial one-hot contracts
+    # against bin-masked values (chunk, n_bins*c) — identical result and
+    # FLOPs as the flat (chunk, n_pos*n_bins) one-hot, but n_bins x less
+    # one-hot material. Matmul operands are bf16 (one-hot and bin masks
+    # are exactly representable; Q rounds at ~3 decimal digits, far
+    # inside CRF tolerance — tests/test_crf_parity.py) with f32
+    # accumulation.
+    pos = (ys * gw + xs).reshape(-1)
+    n_pix = pos.shape[0]
+    n_pos = gh * gw
     chunk = 8192
     n_chunks = -(-n_pix // chunk)
     pad = n_chunks * chunk - n_pix
-    flat_p = jnp.pad(flat, (0, pad), constant_values=grid_size)  # spill bin
+    pos_p = jnp.pad(pos, (0, pad), constant_values=n_pos)  # spill row
+    bins_p = jnp.pad(bins.reshape(-1), (0, pad))
     vals_p = jnp.pad(q.reshape(n_pix, c), ((0, pad), (0, 0)))
 
-    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, grid_size), 1)
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_pos), 1)
+    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_bins), 1)
 
     def body(carry, inp):
-        idx_c, val_c = inp
-        onehot = (idx_c[:, None] == bin_ids).astype(jnp.float32)
+        pos_c, bin_c, val_c = inp
+        onehot = (pos_c[:, None] == pos_ids).astype(jnp.bfloat16)
+        binmask = (bin_c[:, None] == bin_ids).astype(jnp.bfloat16)
+        stacked = (
+            binmask[:, :, None] * val_c.astype(jnp.bfloat16)[:, None, :]
+        ).reshape(chunk, n_bins * c)
         return carry + jnp.dot(
-            onehot.T, val_c, preferred_element_type=jnp.float32
+            onehot.T, stacked, preferred_element_type=jnp.float32
         ), None
 
-    acc0 = jnp.zeros((grid_size, c), jnp.float32)
+    acc0 = jnp.zeros((n_pos, n_bins * c), jnp.float32)
     q_grid, _ = jax.lax.scan(
         body, acc0,
-        (flat_p.reshape(n_chunks, chunk),
+        (pos_p.reshape(n_chunks, chunk),
+         bins_p.reshape(n_chunks, chunk),
          vals_p.reshape(n_chunks, chunk, c)),
     )
 
@@ -199,7 +219,7 @@ def crf_inference(
     the exact dense oracle (tools/misc/crf_parity_study.py, VERDICT r3
     #4 — see ROUND4_NOTES.md for the measured agreement table)."""
     radius = int(np.ceil(3 * sxy_gaussian))
-    g_kernel = jnp.asarray(_gaussian_kernel2d(sxy_gaussian, radius))
+    g_kernel = jnp.asarray(_gaussian_taps1d(sxy_gaussian, radius))
     luma = (
         image[..., 0] * 0.299 + image[..., 1] * 0.587 + image[..., 2] * 0.114
     )
