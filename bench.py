@@ -48,6 +48,10 @@ BASELINE_INFER_MS = {
     "xception": 59.0,
     "resnet50": 38.0,
     "mobilenetv2_lite": 23.0,
+    # remaining published rows (BASELINE.md / reference README.md:314-317)
+    "mobilenetv3large": 29.0,
+    "peleenet_lite": 37.8,
+    "mobilenetv3small_lite": 20.0,
 }
 PRIMARY = "mobilenetv2_lite"
 
@@ -771,6 +775,18 @@ def main():
                 log(f"  failed: {_exc_line(exc)}")
                 e["train_error"] = _exc_line(exc)
         _checkpoint(f"headline:{mt}")
+
+    # ---- section 1b: the remaining published-baseline rows ------------
+    # (BASELINE.md lists six reference latencies; headline covers three —
+    # these inference-only legs close the table)
+    for mt in ("mobilenetv3large", "peleenet_lite", "mobilenetv3small_lite"):
+        e = configs.setdefault(mt, {})
+        try:
+            _infer_legs(e, mt, peak)
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            e["infer_error"] = _exc_line(exc)
+        _checkpoint(f"baseline:{mt}")
 
     # ---- section 2: OS8 — the memory-hard config (SURVEY §7) ----------
     try:
