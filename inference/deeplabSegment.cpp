@@ -16,11 +16,14 @@
 //   * write the class-index mask PNG + report detected classes
 //     (tflite cpp:387-395).
 //
-// Model execution differs by design: instead of a TFLite FlatBuffer
-// interpreter the app embeds CPython and drives the XLA-compiled model
-// (StableHLO artifact or flax checkpoint) through
-// deeplabv3p_tpu.runtime.Runner — on a TPU host the invoke runs on the
-// TPU; elsewhere it runs on CPU via the same artifact.
+// Model execution: two engines, selected by --engine (reference ships
+// two apps — TFLite and MNN — for the same reason):
+//   * python (default for .shlo/.ckpt): embeds CPython and drives the
+//     XLA-compiled model through deeplabv3p_tpu.runtime.Runner — on a
+//     TPU host the invoke runs on the TPU.
+//   * onnx (default for .onnx): the in-tree pure-C++ interpreter over
+//     the exporter's opset subset (onnx_engine.cc) — zero Python, zero
+//     TensorFlow at runtime, the MNN-app execution model.
 
 #include <Python.h>
 
@@ -37,6 +40,8 @@
 #include <set>
 #include <string>
 #include <vector>
+
+#include "onnx_engine.h"
 
 namespace {
 
@@ -315,15 +320,19 @@ void Usage(const char* prog) {
   std::fprintf(
       stderr,
       "Usage: %s --model_path M --image I [options]\n"
-      "  --model_path PATH   .shlo artifact or .ckpt checkpoint\n"
+      "  --model_path PATH   .shlo artifact, .ckpt checkpoint or .onnx\n"
       "  --model_type NAME   model type for .ckpt (default mobilenetv2_lite)\n"
+      "  --engine NAME       auto|python|onnx (default auto: onnx for\n"
+      "                      .onnx models, python otherwise)\n"
       "  --image PATH        input image (jpg/png)\n"
       "  --classes NUM       class count (default 21)\n"
       "  --input_shape HxW   model input (default 512x512)\n"
       "  --count N           timed invoke loop count (default 1)\n"
       "  --warmup_runs N     warmup invokes (default 1)\n"
       "  --output PATH       mask PNG out (default <image>_mask.png)\n"
-      "  --keep_shape        skip resize of mask back to original size\n",
+      "  --keep_shape        skip resize of mask back to original size\n"
+      "  --dump_raw PATH     also write the raw f32 score tensor (NHWC)\n"
+      "                      for cross-engine validation\n",
       prog);
 }
 
@@ -332,6 +341,8 @@ void Usage(const char* prog) {
 int main(int argc, char** argv) {
   std::string model_path, image_path, output_path;
   std::string model_type = "mobilenetv2_lite";
+  std::string engine = "auto";
+  std::string dump_raw;
   int num_classes = 21, in_h = 512, in_w = 512;
   int count = 1, warmup = 1;
   bool keep_shape = false;
@@ -339,6 +350,7 @@ int main(int argc, char** argv) {
   static option opts[] = {
       {"model_path", required_argument, nullptr, 'm'},
       {"model_type", required_argument, nullptr, 't'},
+      {"engine", required_argument, nullptr, 'e'},
       {"image", required_argument, nullptr, 'i'},
       {"classes", required_argument, nullptr, 'c'},
       {"input_shape", required_argument, nullptr, 's'},
@@ -346,14 +358,16 @@ int main(int argc, char** argv) {
       {"warmup_runs", required_argument, nullptr, 'w'},
       {"output", required_argument, nullptr, 'o'},
       {"keep_shape", no_argument, nullptr, 'k'},
+      {"dump_raw", required_argument, nullptr, 'r'},
       {"help", no_argument, nullptr, 'h'},
       {nullptr, 0, nullptr, 0}};
   int opt;
-  while ((opt = getopt_long(argc, argv, "m:t:i:c:s:n:w:o:kh", opts,
+  while ((opt = getopt_long(argc, argv, "m:t:e:i:c:s:n:w:o:kr:h", opts,
                             nullptr)) != -1) {
     switch (opt) {
       case 'm': model_path = optarg; break;
       case 't': model_type = optarg; break;
+      case 'e': engine = optarg; break;
       case 'i': image_path = optarg; break;
       case 'c': num_classes = atoi(optarg); break;
       case 's': sscanf(optarg, "%dx%d", &in_h, &in_w); break;
@@ -361,11 +375,22 @@ int main(int argc, char** argv) {
       case 'w': warmup = atoi(optarg); break;
       case 'o': output_path = optarg; break;
       case 'k': keep_shape = true; break;
+      case 'r': dump_raw = optarg; break;
       default: Usage(argv[0]); return 1;
     }
   }
   if (model_path.empty() || image_path.empty()) {
     Usage(argv[0]);
+    return 1;
+  }
+  if (engine == "auto") {
+    auto dot = model_path.find_last_of('.');
+    engine = (dot != std::string::npos && model_path.substr(dot) == ".onnx")
+                 ? "onnx"
+                 : "python";
+  }
+  if (engine != "python" && engine != "onnx") {
+    std::fprintf(stderr, "unknown --engine '%s'\n", engine.c_str());
     return 1;
   }
   if (output_path.empty()) {
@@ -389,17 +414,60 @@ int main(int argc, char** argv) {
   FillNormalized(resized, 127.5f, 127.5f, &input);
   std::printf("preprocess time: %.3f ms\n", NowMs() - t0);
 
-  // model runner (embedded python → XLA)
-  Py_Initialize();
-  {
+  std::vector<float> probs;
+  int oh = 0, ow = 0, oc = 0;
+  bool py_inited = false;
+
+  if (engine == "onnx") {
+    // pure-C++ engine: no Python at runtime
+    std::string err;
+    auto eng = dlp::OnnxEngine::Load(model_path, &err);
+    if (!eng) {
+      std::fprintf(stderr, "onnx engine: %s\n", err.c_str());
+      return 1;
+    }
+    const auto& gd = eng->input_dims();  // NHWC (1,H,W,3) from exporter
+    if (gd.size() == 4 && (gd[1] != in_h || gd[2] != in_w)) {
+      std::printf("note: graph input %lldx%lld overrides --input_shape\n",
+                  (long long)gd[1], (long long)gd[2]);
+      in_h = int(gd[1]);
+      in_w = int(gd[2]);
+      ResizeBilinear(img, in_w, in_h, &resized);
+      FillNormalized(resized, 127.5f, 127.5f, &input);
+    }
+    std::printf("onnx graph loaded: %d nodes\n", eng->node_count());
+    std::vector<int64_t> in_dims = {1, in_h, in_w, 3};
+    std::vector<int64_t> out_dims;
+    auto invoke = [&]() {
+      if (!eng->Run(input.data(), in_dims, &probs, &out_dims, &err)) {
+        std::fprintf(stderr, "onnx engine: %s\n", err.c_str());
+        return false;
+      }
+      return true;
+    };
+    for (int i = 0; i < warmup; ++i)
+      if (!invoke()) return 1;
+    t0 = NowMs();
+    for (int i = 0; i < count; ++i)
+      if (!invoke()) return 1;
+    double invoke_ms = (NowMs() - t0) / std::max(count, 1);
+    std::printf("model invoke average time: %.3f ms\n", invoke_ms);
+    if (out_dims.size() != 4) {
+      std::fprintf(stderr, "unexpected output rank %zu\n", out_dims.size());
+      return 1;
+    }
+    oh = int(out_dims[1]);
+    ow = int(out_dims[2]);
+    oc = int(out_dims[3]);
+  } else {
+    // embedded python → XLA
+    Py_Initialize();
+    py_inited = true;
     Runner runner;
     if (!runner.Init(model_path, model_type, num_classes, in_h, in_w)) {
       Py_Finalize();
       return 1;
     }
-
-    std::vector<float> probs;
-    int oh = 0, ow = 0, oc = 0;
     for (int i = 0; i < warmup; ++i)
       runner.Invoke(input, in_h, in_w, &probs, &oh, &ow, &oc);
 
@@ -408,37 +476,45 @@ int main(int argc, char** argv) {
       runner.Invoke(input, in_h, in_w, &probs, &oh, &ow, &oc);
     double invoke_ms = (NowMs() - t0) / std::max(count, 1);
     std::printf("model invoke average time: %.3f ms\n", invoke_ms);
-
-    // postprocess (native argmax)
-    t0 = NowMs();
-    std::vector<unsigned char> mask;
-    std::set<int> found;
-    ArgmaxMask(probs.data(), oh, ow, oc, &mask, &found);
-    std::printf("deeplab_postprocess time: %.3f ms\n", NowMs() - t0);
-
-    std::vector<unsigned char> final_mask;
-    int out_w = ow, out_h = oh;
-    if (!keep_shape) {
-      t0 = NowMs();
-      MaskResizeNearest(mask, ow, oh, img.width, img.height, &final_mask);
-      out_w = img.width;
-      out_h = img.height;
-      std::printf("mask_resize time: %.3f ms\n", NowMs() - t0);
-    } else {
-      final_mask = mask;
-    }
-
-    std::printf("Segment class:\n");
-    for (int c : found) std::printf("%d\n", c);
-
-    if (!SaveGrayPng(output_path, final_mask.data(), out_w, out_h)) {
-      std::fprintf(stderr, "failed to write %s\n", output_path.c_str());
-      Py_Finalize();
-      return 1;
-    }
-    std::printf("Segmentation result has been saved to: %s\n",
-                output_path.c_str());
   }
-  Py_Finalize();
+
+  if (!dump_raw.empty()) {
+    FILE* rf = fopen(dump_raw.c_str(), "wb");
+    if (rf) {
+      fwrite(probs.data(), sizeof(float), probs.size(), rf);
+      fclose(rf);
+    }
+  }
+
+  // postprocess (native argmax)
+  t0 = NowMs();
+  std::vector<unsigned char> mask;
+  std::set<int> found;
+  ArgmaxMask(probs.data(), oh, ow, oc, &mask, &found);
+  std::printf("deeplab_postprocess time: %.3f ms\n", NowMs() - t0);
+
+  std::vector<unsigned char> final_mask;
+  int out_w = ow, out_h = oh;
+  if (!keep_shape) {
+    t0 = NowMs();
+    MaskResizeNearest(mask, ow, oh, img.width, img.height, &final_mask);
+    out_w = img.width;
+    out_h = img.height;
+    std::printf("mask_resize time: %.3f ms\n", NowMs() - t0);
+  } else {
+    final_mask = mask;
+  }
+
+  std::printf("Segment class:\n");
+  for (int c : found) std::printf("%d\n", c);
+
+  bool saved = SaveGrayPng(output_path, final_mask.data(), out_w, out_h);
+  if (py_inited) Py_Finalize();
+  if (!saved) {
+    std::fprintf(stderr, "failed to write %s\n", output_path.c_str());
+    return 1;
+  }
+  std::printf("Segmentation result has been saved to: %s\n",
+              output_path.c_str());
   return 0;
 }

@@ -5,6 +5,13 @@ never run by a test — only the python Runner underneath it).
 Mirrors the reference's on-device flow (inference/tflite/
 deeplabSegment.cpp:178-330): JPEG decode → normalize fill → model invoke
 → per-pixel argmax → mask PNG out.
+
+Also exercises the second native engine (`--engine onnx`,
+inference/onnx_engine.cc): the pure-C++ interpreter over the exporter's
+opset subset, playing the role of the reference's MNN app
+(inference/MNN/deeplabSegment.cpp:240-360 — a standalone no-Python
+operator interpreter). Cross-engine parity is checked against the
+original JAX program via `--dump_raw`.
 """
 
 import os
@@ -95,3 +102,71 @@ def test_deeplab_segment_binary_end_to_end(binary, shlo_model, tmp_path):
     assert set(np.unique(mask)).issubset(set(range(NUM_CLASSES)))
     # invoke timing + found-class reporting, like the reference app
     assert "ms" in res.stdout or "ms" in res.stderr
+
+
+def _export_onnx_case(model_name, hw, nc, out_dir):
+    """Export <model_name>.onnx on CPU in a subprocess and record the
+    JAX forward on a deterministic image as the parity reference."""
+    onnx_path = os.path.join(out_dir, "m.onnx")
+    img_path = os.path.join(out_dir, "in.png")
+    ref_path = os.path.join(out_dir, "ref.npy")
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {REPO!r})
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+from deeplabv3p_tpu.models.factory import build_segmentation_model
+from deeplabv3p_tpu.export.onnx.convert import export_onnx, save_onnx
+m = build_segmentation_model({model_name!r}, {nc}, output_stride=16)
+v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, {hw}, {hw}, 3)))
+fwd = lambda x: m.apply(v, x, train=False)
+save_onnx(export_onnx(fwd, (jnp.zeros((1, {hw}, {hw}, 3), jnp.float32),)),
+          {onnx_path!r})
+rng = np.random.RandomState(0)
+img = rng.randint(0, 256, size=({hw}, {hw}, 3), dtype=np.uint8)
+Image.fromarray(img).save({img_path!r})
+x = ((img.astype(np.float32) - 127.5) / 127.5)[None]
+np.save({ref_path!r}, np.asarray(fwd(jnp.asarray(x))))
+print("exported")
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd=REPO, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    return onnx_path, img_path, ref_path
+
+
+# mobilenetv2_lite = Conv/depthwise path, unet = ConvTranspose decoder,
+# mobilevit = Einsum attention — together the exporter's op superset.
+@pytest.mark.parametrize(
+    "model_name,hw",
+    [("mobilenetv2_lite", 32), ("unet_standard", 32), ("mobilevit_xxs", 64)],
+)
+def test_onnx_engine_matches_jax(binary, tmp_path, model_name, hw):
+    onnx_path, img_path, ref_path = _export_onnx_case(
+        model_name, hw, NUM_CLASSES, str(tmp_path)
+    )
+    raw_path = str(tmp_path / "raw.bin")
+    out_png = str(tmp_path / "mask.png")
+    res = subprocess.run(
+        [binary,
+         "--model_path", onnx_path,     # .onnx → --engine auto picks onnx
+         "--image", img_path,
+         "--input_shape", f"{hw}x{hw}",
+         "--dump_raw", raw_path,
+         "--keep_shape",
+         "--output", out_png],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, (res.stdout[-800:], res.stderr[-1500:])
+    ref = np.load(ref_path)
+    got = np.fromfile(raw_path, dtype=np.float32).reshape(ref.shape)
+    assert np.abs(got - ref).max() < 1e-4
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.999
+    mask = np.asarray(Image.open(out_png))
+    assert mask.shape[:2] == (hw, hw)
+    # no-Python execution model: the onnx engine must not touch CPython
+    assert "onnx graph loaded" in res.stdout
