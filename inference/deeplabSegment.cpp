@@ -332,7 +332,11 @@ void Usage(const char* prog) {
       "  --output PATH       mask PNG out (default <image>_mask.png)\n"
       "  --keep_shape        skip resize of mask back to original size\n"
       "  --dump_raw PATH     also write the raw f32 score tensor (NHWC)\n"
-      "                      for cross-engine validation\n",
+      "                      for cross-engine validation\n"
+      "  --input_raw PATH    read the preprocessed f32 NHWC input tensor\n"
+      "                      directly (bit-exact cross-engine validation;\n"
+      "                      --image becomes optional and the mask stays\n"
+      "                      at model resolution)\n",
       prog);
 }
 
@@ -342,7 +346,7 @@ int main(int argc, char** argv) {
   std::string model_path, image_path, output_path;
   std::string model_type = "mobilenetv2_lite";
   std::string engine = "auto";
-  std::string dump_raw;
+  std::string dump_raw, input_raw;
   int num_classes = 21, in_h = 512, in_w = 512;
   int count = 1, warmup = 1;
   bool keep_shape = false;
@@ -359,10 +363,11 @@ int main(int argc, char** argv) {
       {"output", required_argument, nullptr, 'o'},
       {"keep_shape", no_argument, nullptr, 'k'},
       {"dump_raw", required_argument, nullptr, 'r'},
+      {"input_raw", required_argument, nullptr, 'R'},
       {"help", no_argument, nullptr, 'h'},
       {nullptr, 0, nullptr, 0}};
   int opt;
-  while ((opt = getopt_long(argc, argv, "m:t:e:i:c:s:n:w:o:kr:h", opts,
+  while ((opt = getopt_long(argc, argv, "m:t:e:i:c:s:n:w:o:kr:R:h", opts,
                             nullptr)) != -1) {
     switch (opt) {
       case 'm': model_path = optarg; break;
@@ -376,13 +381,15 @@ int main(int argc, char** argv) {
       case 'o': output_path = optarg; break;
       case 'k': keep_shape = true; break;
       case 'r': dump_raw = optarg; break;
+      case 'R': input_raw = optarg; break;
       default: Usage(argv[0]); return 1;
     }
   }
-  if (model_path.empty() || image_path.empty()) {
+  if (model_path.empty() || (image_path.empty() && input_raw.empty())) {
     Usage(argv[0]);
     return 1;
   }
+  if (!input_raw.empty()) keep_shape = true;  // no origin size to restore
   if (engine == "auto") {
     auto dot = model_path.find_last_of('.');
     engine = (dot != std::string::npos && model_path.substr(dot) == ".onnx")
@@ -394,25 +401,42 @@ int main(int argc, char** argv) {
     return 1;
   }
   if (output_path.empty()) {
-    auto dot = image_path.find_last_of('.');
-    output_path = image_path.substr(0, dot) + "_mask.png";
+    const std::string& base = image_path.empty() ? input_raw : image_path;
+    auto dot = base.find_last_of('.');
+    output_path = base.substr(0, dot) + "_mask.png";
   }
 
-  // load + preprocess (native)
+  // load + preprocess (native), or take the ready f32 tensor
   Image img;
-  if (!LoadImage(image_path, &img)) {
-    std::fprintf(stderr, "failed to load %s\n", image_path.c_str());
-    return 1;
-  }
-  std::printf("origin image size: width:%d, height:%d, channel:%d\n",
-              img.width, img.height, img.channels);
-
-  double t0 = NowMs();
   std::vector<unsigned char> resized;
-  ResizeBilinear(img, in_w, in_h, &resized);
   std::vector<float> input;
-  FillNormalized(resized, 127.5f, 127.5f, &input);
-  std::printf("preprocess time: %.3f ms\n", NowMs() - t0);
+  double t0 = NowMs();
+  if (!input_raw.empty()) {
+    FILE* rf = fopen(input_raw.c_str(), "rb");
+    if (!rf) {
+      std::fprintf(stderr, "failed to open %s\n", input_raw.c_str());
+      return 1;
+    }
+    input.resize(size_t(in_h) * in_w * 3);
+    size_t got = fread(input.data(), sizeof(float), input.size(), rf);
+    fclose(rf);
+    if (got != input.size()) {
+      std::fprintf(stderr, "%s: expected %zu f32 values, got %zu\n",
+                   input_raw.c_str(), input.size(), got);
+      return 1;
+    }
+  } else {
+    if (!LoadImage(image_path, &img)) {
+      std::fprintf(stderr, "failed to load %s\n", image_path.c_str());
+      return 1;
+    }
+    std::printf("origin image size: width:%d, height:%d, channel:%d\n",
+                img.width, img.height, img.channels);
+    t0 = NowMs();
+    ResizeBilinear(img, in_w, in_h, &resized);
+    FillNormalized(resized, 127.5f, 127.5f, &input);
+    std::printf("preprocess time: %.3f ms\n", NowMs() - t0);
+  }
 
   std::vector<float> probs;
   int oh = 0, ow = 0, oc = 0;
@@ -428,6 +452,13 @@ int main(int argc, char** argv) {
     }
     const auto& gd = eng->input_dims();  // NHWC (1,H,W,3) from exporter
     if (gd.size() == 4 && (gd[1] != in_h || gd[2] != in_w)) {
+      if (!input_raw.empty()) {
+        std::fprintf(stderr,
+                     "graph input %lldx%lld != --input_shape %dx%d "
+                     "(raw input cannot be resized)\n",
+                     (long long)gd[1], (long long)gd[2], in_h, in_w);
+        return 1;
+      }
       std::printf("note: graph input %lldx%lld overrides --input_shape\n",
                   (long long)gd[1], (long long)gd[2]);
       in_h = int(gd[1]);

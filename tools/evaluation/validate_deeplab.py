@@ -11,6 +11,10 @@ dispatched by extension to its engine:
   .shlo             exported StableHLO artifact
   .onnx             bundled numpy ONNX interpreter (export/onnx/interp.py)
   .tflite / .pb     TFLite Interpreter / frozen GraphDef (requires TF)
+  native:<path>     the C++ `deeplabSegment` binary (its pure-C++ ONNX
+                    engine for .onnx; the embedded-CPython engine
+                    otherwise), fed the exact preprocessed tensor via
+                    --input_raw so the diff is engine-only
 
 With several artifacts the tool prints per-engine probability and argmax
 diffs against the FIRST one (the reference's cross-engine diff role) and
@@ -34,6 +38,47 @@ def make_engine(model_path, model_type, num_classes, input_shape,
     import jax
     import jax.numpy as jnp
 
+    if model_path.startswith("native:"):
+        artifact = model_path[len("native:"):]
+        binary = os.environ.get(
+            "DEEPLAB_NATIVE_BIN",
+            os.path.join(os.path.dirname(__file__), "..", "..",
+                         "inference", "build", "deeplabSegment"),
+        )
+        if not os.path.exists(binary):
+            raise FileNotFoundError(
+                f"native binary not found at {binary} — build it "
+                "(cd inference && cmake -B build && make -C build) or set "
+                "DEEPLAB_NATIVE_BIN"
+            )
+
+        def fn_native(x):
+            import subprocess
+            import tempfile
+
+            x = np.ascontiguousarray(np.asarray(x, np.float32))
+            _, h, w, _ = x.shape
+            with tempfile.TemporaryDirectory() as td:
+                raw_in = os.path.join(td, "in.bin")
+                raw_out = os.path.join(td, "out.bin")
+                x.tofile(raw_in)
+                res = subprocess.run(
+                    [binary, "--model_path", artifact,
+                     "--input_raw", raw_in,
+                     "--input_shape", f"{h}x{w}",
+                     "--classes", str(num_classes),
+                     "--dump_raw", raw_out,
+                     "--output", os.path.join(td, "mask.png")],
+                    capture_output=True, text=True,
+                )
+                if res.returncode != 0:
+                    raise RuntimeError(
+                        f"deeplabSegment failed: {res.stderr[-800:]}"
+                    )
+                probs = np.fromfile(raw_out, np.float32)
+            return probs.reshape(1, h, w, -1)
+
+        return fn_native
     if model_path.endswith(".shlo"):
         from deeplabv3p_tpu.export.stablehlo import load_exported
 
@@ -167,7 +212,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", required=True,
                    help="one artifact, or a comma-separated list "
-                        "(.ckpt/.h5/.shlo/.onnx/.tflite/.pb) for a "
+                        "(.ckpt/.h5/.shlo/.onnx/.tflite/.pb, or "
+                        "native:<artifact> for the C++ binary) for a "
                         "cross-engine diff")
     p.add_argument("--model_type", default="mobilenetv2_lite")
     p.add_argument("--image_file", required=True)
