@@ -466,7 +466,8 @@ int main(int argc, char** argv) {
       ResizeBilinear(img, in_w, in_h, &resized);
       FillNormalized(resized, 127.5f, 127.5f, &input);
     }
-    std::printf("onnx graph loaded: %d nodes\n", eng->node_count());
+    std::printf("onnx graph loaded: %d nodes (gemm=%s)\n",
+                eng->node_count(), dlp::OnnxEngine::GemmBackend());
     std::vector<int64_t> in_dims = {1, in_h, in_w, 3};
     std::vector<int64_t> out_dims;
     auto invoke = [&]() {

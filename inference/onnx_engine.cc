@@ -17,12 +17,18 @@
 
 #include "onnx_engine.h"
 
+#include <dlfcn.h>
+
 #include <algorithm>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <functional>
 #include <limits>
+#include <map>
 #include <numeric>
 #include <sstream>
 #include <unordered_map>
@@ -124,6 +130,88 @@ struct OffsetWalker {
 };
 
 // ---------------------------------------------------------------------
+// Broadcast iteration fast path. Finds the longest tail of output axes
+// over which every tracked operand is either constant (stride 0
+// throughout) or row-major contiguous, so the hot inner loop is flat
+// (step 0 or 1) and vectorizes; only the remaining outer axes ride the
+// mixed-radix walker. For same-shape operands the tail is the whole
+// tensor and the walker runs exactly once.
+// ---------------------------------------------------------------------
+
+struct BroadcastPlan {
+  std::vector<int64_t> outer_dims;          // dims[:t], {1} when empty
+  std::vector<std::vector<int64_t>> outer;  // per-operand strides[:t]
+  std::vector<int64_t> step;                // per-operand inner step: 0|1
+  int64_t inner = 1;                        // flat tail length
+};
+
+BroadcastPlan PlanBroadcast(const std::vector<int64_t>& dims,
+                            const std::vector<std::vector<int64_t>>& strides) {
+  BroadcastPlan p;
+  const size_t nops = strides.size(), rank = dims.size();
+  std::vector<int64_t> cont = Strides(dims);
+  std::vector<bool> all_zero(nops, true), all_cont(nops, true);
+  size_t t = rank;
+  while (t > 0) {
+    const size_t k = t - 1;
+    std::vector<bool> az = all_zero, ac = all_cont;
+    bool ok = true;
+    for (size_t o = 0; o < nops; ++o) {
+      az[o] = az[o] && strides[o][k] == 0;
+      ac[o] = ac[o] && strides[o][k] == cont[k];
+      if (!az[o] && !ac[o]) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) break;
+    all_zero = std::move(az);
+    all_cont = std::move(ac);
+    --t;
+  }
+  for (size_t k = t; k < rank; ++k) p.inner *= dims[k];
+  p.step.resize(nops);
+  for (size_t o = 0; o < nops; ++o) p.step[o] = all_zero[o] ? 0 : 1;
+  p.outer_dims.assign(dims.begin(), dims.begin() + t);
+  if (p.outer_dims.empty()) p.outer_dims = {1};
+  p.outer.resize(nops);
+  for (size_t o = 0; o < nops; ++o) {
+    p.outer[o].assign(strides[o].begin(), strides[o].begin() + t);
+    if (p.outer[o].empty()) p.outer[o] = {0};
+  }
+  return p;
+}
+
+// out[k] = f(a[...], b[...]) over the broadcast shape `dims`.
+template <typename F>
+void ForEachBroadcast2(const std::vector<int64_t>& dims,
+                       const std::vector<int64_t>& sa,
+                       const std::vector<int64_t>& sb, const float* pa,
+                       const float* pb, float* po, F f) {
+  BroadcastPlan p = PlanBroadcast(dims, {sa, sb});
+  OffsetWalker w(p.outer_dims, p.outer);
+  const int64_t L = p.inner;
+  const bool ia = p.step[0] == 1, ib = p.step[1] == 1;
+  do {
+    const float* __restrict A = pa + w.off[0];
+    const float* __restrict B = pb + w.off[1];
+    if (ia && ib) {
+      for (int64_t i = 0; i < L; ++i) po[i] = f(A[i], B[i]);
+    } else if (ia) {
+      const float y = *B;
+      for (int64_t i = 0; i < L; ++i) po[i] = f(A[i], y);
+    } else if (ib) {
+      const float x = *A;
+      for (int64_t i = 0; i < L; ++i) po[i] = f(x, B[i]);
+    } else {
+      const float v = f(*A, *B);
+      for (int64_t i = 0; i < L; ++i) po[i] = v;
+    }
+    po += L;
+  } while (w.Next());
+}
+
+// ---------------------------------------------------------------------
 // attribute helpers
 // ---------------------------------------------------------------------
 
@@ -215,12 +303,70 @@ bool TensorFromProto(const pb::TensorProto& t, Tensor* out, std::string* err) {
 
 // ---------------------------------------------------------------------
 // f32 GEMM: C[M,N] += A[M,K] * B[K,N], all row-major contiguous.
-// m-k-n loop order keeps the inner loop contiguous in both B and C so
-// the compiler vectorizes it.
+//
+// Fast path: a wheel-bundled OpenBLAS (numpy/scipy/opencv all ship one)
+// resolved via dlopen at first use — never linked, so the binary stays
+// self-contained and falls back to the portable loop when absent.
+// CMake bakes the discovered library path in as
+// DEEPLAB_OPENBLAS_DEFAULT; DEEPLAB_OPENBLAS overrides it at runtime
+// (a path, or "off" to force the portable loop). Only LP64 builds with
+// plain `cblas_sgemm` / `scipy_cblas_sgemm` symbols are accepted (the
+// suffixed ILP64 `*64_` variants have a different int width).
 // ---------------------------------------------------------------------
 
+// CBLAS row-major / no-transpose enums.
+constexpr int kCblasRowMajor = 101;
+constexpr int kCblasNoTrans = 111;
+
+using CblasSgemmFn = void (*)(int order, int trans_a, int trans_b, int m,
+                              int n, int k, float alpha, const float* a,
+                              int lda, const float* b, int ldb, float beta,
+                              float* c, int ldc);
+
+CblasSgemmFn ResolveBlasSgemm() {
+  std::vector<std::string> candidates;
+  if (const char* env = std::getenv("DEEPLAB_OPENBLAS")) {
+    std::string v = env;
+    if (v == "off" || v == "0" || v.empty()) return nullptr;
+    candidates.push_back(v);
+  }
+#ifdef DEEPLAB_OPENBLAS_DEFAULT
+  candidates.push_back(DEEPLAB_OPENBLAS_DEFAULT);
+#endif
+  for (const std::string& path : candidates) {
+    if (path.empty()) continue;
+    void* h = dlopen(path.c_str(), RTLD_NOW | RTLD_LOCAL);
+    if (!h) continue;
+    for (const char* sym : {"cblas_sgemm", "scipy_cblas_sgemm"})
+      if (void* fn = dlsym(h, sym))
+        return reinterpret_cast<CblasSgemmFn>(fn);
+    dlclose(h);
+  }
+  return nullptr;
+}
+
+CblasSgemmFn BlasSgemm() {
+  static CblasSgemmFn fn = ResolveBlasSgemm();
+  return fn;
+}
+
+// Portable fallback: m-k-n loop order keeps the inner loop contiguous in
+// both B and C so the compiler vectorizes it.
+// `accumulate=false` promises C is freshly zeroed, letting BLAS skip the
+// read-modify pass (beta=0); the portable loop accumulates either way,
+// which is identical on zeroed C.
 void Gemm(int64_t M, int64_t N, int64_t K, const float* __restrict A,
-          const float* __restrict B, float* __restrict C) {
+          const float* __restrict B, float* __restrict C,
+          bool accumulate = true) {
+  // Tiny products aren't worth the BLAS call overhead.
+  if (M * N * K >= 4096) {
+    if (CblasSgemmFn blas = BlasSgemm()) {
+      blas(kCblasRowMajor, kCblasNoTrans, kCblasNoTrans, int(M), int(N),
+           int(K), 1.f, A, int(K), B, int(N),
+           /*beta=*/accumulate ? 1.f : 0.f, C, int(N));
+      return;
+    }
+  }
   for (int64_t m = 0; m < M; ++m) {
     float* __restrict c = C + m * N;
     for (int64_t k = 0; k < K; ++k) {
@@ -264,35 +410,23 @@ bool OpElementwiseBinary(const pb::NodeProto& n, const Ins& in, Tensor* out,
                               DimsStr(b.dims));
     res.f.resize(res.numel());
     const std::string& op = n.op_type();
-    int64_t total = res.numel();
-    // fast path: same shape (the overwhelmingly common case)
-    if (a.dims == b.dims) {
-      const float* __restrict pa = a.f.data();
-      const float* __restrict pb = b.f.data();
-      float* __restrict po = res.f.data();
-      if (op == "Add") for (int64_t k = 0; k < total; ++k) po[k] = pa[k] + pb[k];
-      else if (op == "Sub") for (int64_t k = 0; k < total; ++k) po[k] = pa[k] - pb[k];
-      else if (op == "Mul") for (int64_t k = 0; k < total; ++k) po[k] = pa[k] * pb[k];
-      else if (op == "Div") for (int64_t k = 0; k < total; ++k) po[k] = pa[k] / pb[k];
-      else if (op == "Max") for (int64_t k = 0; k < total; ++k) po[k] = std::max(pa[k], pb[k]);
-      else if (op == "Min") for (int64_t k = 0; k < total; ++k) po[k] = std::min(pa[k], pb[k]);
-      else return Fail(err, n, "unknown binary op");
-    } else {
-      OffsetWalker w(res.dims, {BroadcastStrides(a.dims, res.dims),
-                                BroadcastStrides(b.dims, res.dims)});
-      int64_t k = 0;
-      do {
-        float x = a.f[w.off[0]], y = b.f[w.off[1]], r;
-        if (op == "Add") r = x + y;
-        else if (op == "Sub") r = x - y;
-        else if (op == "Mul") r = x * y;
-        else if (op == "Div") r = x / y;
-        else if (op == "Max") r = std::max(x, y);
-        else if (op == "Min") r = std::min(x, y);
-        else return Fail(err, n, "unknown binary op");
-        res.f[k++] = r;
-      } while (w.Next());
-    }
+    // one broadcast-planned loop per op: flat vectorizable inner loop,
+    // op dispatched ONCE per node (not per element)
+    auto run = [&](auto f) {
+      ForEachBroadcast2(res.dims, BroadcastStrides(a.dims, res.dims),
+                        BroadcastStrides(b.dims, res.dims), a.f.data(),
+                        b.f.data(), res.f.data(), f);
+      return true;
+    };
+    bool ok;
+    if (op == "Add") ok = run([](float x, float y) { return x + y; });
+    else if (op == "Sub") ok = run([](float x, float y) { return x - y; });
+    else if (op == "Mul") ok = run([](float x, float y) { return x * y; });
+    else if (op == "Div") ok = run([](float x, float y) { return x / y; });
+    else if (op == "Max") ok = run([](float x, float y) { return std::max(x, y); });
+    else if (op == "Min") ok = run([](float x, float y) { return std::min(x, y); });
+    else return Fail(err, n, "unknown binary op");
+    (void)ok;
     acc_store = std::move(res);
     acc = &acc_store;
   }
@@ -458,14 +592,95 @@ bool OpTranspose(const pb::NodeProto& n, const Ins& in, Tensor* out,
     walk[k] = in_strides[perm[k]];
   }
   out->alloc();
-  OffsetWalker w(out->dims, {walk});
+  if (out->dims.empty() || out->numel() == 0) {
+    out->f = a.f;
+    out->i = a.i;
+    out->b = a.b;
+    return true;
+  }
+  // Layout transposes (NHWC<->NCHW around every conv) are batched 2-D
+  // transposes: after dropping size-1 axes they normalize to dims
+  // [D0,D1] walk [1,D0] (optionally a leading batch axis). Run those
+  // cache-blocked instead of strided-gather.
+  if (a.dt == DT::F32) {
+    std::vector<int64_t> nd, nw;
+    for (size_t k = 0; k < out->dims.size(); ++k)
+      if (out->dims[k] != 1) {
+        nd.push_back(out->dims[k]);
+        nw.push_back(walk[k]);
+      }
+    // merge adjacent output axes that walk the input contiguously as a
+    // pair (stride composes): canonicalizes rank-4 layout transposes
+    // like NHWC->NCHW down to a plain 2-D transpose
+    for (size_t k = 0; k + 1 < nd.size();) {
+      if (nw[k] == nw[k + 1] * nd[k + 1]) {
+        nd[k] *= nd[k + 1];
+        nw[k] = nw[k + 1];
+        nd.erase(nd.begin() + k + 1);
+        nw.erase(nw.begin() + k + 1);
+      } else {
+        ++k;
+      }
+    }
+    auto blocked2d = [](const float* __restrict src, int64_t R, int64_t C,
+                        float* __restrict dst) {
+      // src is (R,C) row-major; dst becomes (C,R)
+      constexpr int64_t T = 48;
+      for (int64_t i0 = 0; i0 < C; i0 += T)
+        for (int64_t j0 = 0; j0 < R; j0 += T) {
+          const int64_t i1 = std::min(i0 + T, C), j1 = std::min(j0 + T, R);
+          for (int64_t i = i0; i < i1; ++i)
+            for (int64_t j = j0; j < j1; ++j) dst[i * R + j] = src[j * C + i];
+        }
+    };
+    if (nd.size() == 2 && nw[0] == 1 && nw[1] == nd[0]) {
+      blocked2d(a.f.data(), nd[1], nd[0], out->f.data());
+      return true;
+    }
+    if (nd.size() == 3 && nw[0] == nd[1] * nd[2] && nw[1] == 1 &&
+        nw[2] == nd[1]) {
+      const int64_t plane = nd[1] * nd[2];
+      for (int64_t b = 0; b < nd[0]; ++b)
+        blocked2d(a.f.data() + b * plane, nd[2], nd[1],
+                  out->f.data() + b * plane);
+      return true;
+    }
+  }
+  // flatten the innermost output axis: writes are contiguous, reads a
+  // constant-stride gather (memcpy when the inner axis is untouched)
+  const int64_t L = out->dims.back();
+  const int64_t s = walk.back();
+  std::vector<int64_t> outer_dims(out->dims.begin(), out->dims.end() - 1);
+  std::vector<int64_t> outer_walk(walk.begin(), walk.end() - 1);
+  if (outer_dims.empty()) {
+    outer_dims = {1};
+    outer_walk = {0};
+  }
+  OffsetWalker w(outer_dims, {outer_walk});
   int64_t k = 0;
-  do {
-    if (a.dt == DT::F32) out->f[k] = a.f[w.off[0]];
-    else if (a.dt == DT::I64) out->i[k] = a.i[w.off[0]];
-    else out->b[k] = a.b[w.off[0]];
-    ++k;
-  } while (w.Next());
+  if (a.dt == DT::F32) {
+    const float* __restrict p = a.f.data();
+    float* __restrict q = out->f.data();
+    do {
+      const int64_t off = w.off[0];
+      if (s == 1) std::memcpy(q + k, p + off, L * sizeof(float));
+      else
+        for (int64_t i = 0; i < L; ++i) q[k + i] = p[off + i * s];
+      k += L;
+    } while (w.Next());
+  } else if (a.dt == DT::I64) {
+    do {
+      const int64_t off = w.off[0];
+      for (int64_t i = 0; i < L; ++i) out->i[k + i] = a.i[off + i * s];
+      k += L;
+    } while (w.Next());
+  } else {
+    do {
+      const int64_t off = w.off[0];
+      for (int64_t i = 0; i < L; ++i) out->b[k + i] = a.b[off + i * s];
+      k += L;
+    } while (w.Next());
+  }
   return true;
 }
 
@@ -685,16 +900,39 @@ bool OpReduce(const pb::NodeProto& n, const Ins& in, Tensor* out,
   else if (op == "ReduceMean") init = 0.f;
   else return Fail(err, n, "unknown reduce");
   out->f.assign(size_t(out->numel()), init);
-  OffsetWalker w(a.dims, {ostr});
-  int64_t k = 0;
-  do {
-    float v = a.f[k++];
-    float& dst = out->f[w.off[0]];
-    if (op == "ReduceSum" || op == "ReduceMean") dst += v;
-    else if (op == "ReduceProd") dst *= v;
-    else if (op == "ReduceMax") dst = std::max(dst, v);
-    else dst = std::min(dst, v);
-  } while (w.Next());
+  // Input is walked contiguously; the output offset pattern (stride 0 on
+  // reduced axes) is broadcast-planned so the inner loop is flat: either
+  // a horizontal reduction into one cell (trailing axes reduced) or an
+  // elementwise accumulate run (trailing axes kept).
+  auto accumulate = [&](auto f) {
+    BroadcastPlan p = PlanBroadcast(a.dims, {ostr});
+    OffsetWalker w(p.outer_dims, p.outer);
+    const float* __restrict src = a.f.data();
+    float* dst = out->f.data();
+    const int64_t L = p.inner;
+    if (p.step[0] == 0) {
+      do {
+        float acc = dst[w.off[0]];
+        for (int64_t i = 0; i < L; ++i) acc = f(acc, src[i]);
+        dst[w.off[0]] = acc;
+        src += L;
+      } while (w.Next());
+    } else {
+      do {
+        float* __restrict d = dst + w.off[0];
+        for (int64_t i = 0; i < L; ++i) d[i] = f(d[i], src[i]);
+        src += L;
+      } while (w.Next());
+    }
+  };
+  if (op == "ReduceSum" || op == "ReduceMean")
+    accumulate([](float x, float y) { return x + y; });
+  else if (op == "ReduceProd")
+    accumulate([](float x, float y) { return x * y; });
+  else if (op == "ReduceMax")
+    accumulate([](float x, float y) { return std::max(x, y); });
+  else
+    accumulate([](float x, float y) { return std::min(x, y); });
   if (op == "ReduceMean") {
     int64_t cnt = out->numel() == 0 ? 1 : a.numel() / out->numel();
     for (auto& v : out->f) v /= float(cnt);
@@ -786,9 +1024,34 @@ bool OpEinsum(const pb::NodeProto& n, const Ins& in, Tensor* out,
   std::vector<int64_t> bw_c(walk[1].begin() + rhs.size(), walk[1].end());
   const float* pa = in[0]->f.data();
   const float* pb = in[1]->f.data();
-  // fast path: single contraction letter → tight inner loop
+  // fast paths: single contraction letter
   if (c_dims.size() == 1) {
-    int64_t K = c_dims[0], sa = aw_c[0], sb = bw_c[0];
+    const int64_t K = c_dims[0], sa = aw_c[0], sb = bw_c[0];
+    // When one operand is constant over a contiguous tail of output
+    // letters and the other walks it contiguously (the exporter's
+    // constant-folded bilinear-resize einsums), the tail block is K
+    // vectorized rank-1 updates instead of per-cell strided dots.
+    BroadcastPlan p = PlanBroadcast(out->dims, {aw_out, bw_out});
+    if (p.inner >= 8 && (p.step[0] == 0) != (p.step[1] == 0)) {
+      const bool a_const = p.step[0] == 0;
+      OffsetWalker w(p.outer_dims, p.outer);
+      const int64_t L = p.inner;
+      float* po = out->f.data();
+      do {
+        const float* a0 = pa + w.off[0];
+        const float* b0 = pb + w.off[1];
+        float* __restrict dst = po;
+        for (int64_t c = 0; c < K; ++c) {
+          const float v = a_const ? a0[c * sa] : b0[c * sb];
+          if (v == 0.f) continue;
+          const float* __restrict src =
+              a_const ? b0 + c * sb : a0 + c * sa;
+          for (int64_t i = 0; i < L; ++i) dst[i] += v * src[i];
+        }
+        po += L;
+      } while (w.Next());
+      return true;
+    }
     OffsetWalker w(out->dims, {aw_out, bw_out});
     int64_t k = 0;
     do {
@@ -845,6 +1108,59 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
   out->f.assign(size_t(out->numel()), 0.f);
 
   int64_t Mg = M / g, K = Cg * KH * KW, ON = OH * OW;
+
+  // 1x1 stride-1 convs (the bulk of the MobileNet-family pointwise
+  // convs) are a plain GEMM over the input feature map — no im2col copy.
+  if (KH == 1 && KW == 1 && sh == 1 && sw == 1 && pt == 0 && pl == 0 &&
+      pbm == 0 && pr == 0) {
+    for (int64_t b = 0; b < N; ++b) {
+      for (int64_t gi = 0; gi < g; ++gi) {
+        const float* A = w.f.data() + gi * Mg * K;              // [Mg, Cg]
+        const float* B = x.f.data() + ((b * C + gi * Cg) * H) * W;
+        float* Cp = out->f.data() + ((b * M + gi * Mg) * OH) * OW;
+        Gemm(Mg, ON, K, A, B, Cp, /*accumulate=*/false);
+      }
+    }
+    return true;
+  }
+
+  // Depthwise (group == channel) convs: direct stencil, row-contiguous
+  // inner loop — im2col+GEMV per channel costs more than the math.
+  if (Cg == 1 && Mg == 1) {
+    for (int64_t b = 0; b < N; ++b) {
+      for (int64_t c = 0; c < C; ++c) {
+        const float* xc = x.f.data() + ((b * C + c) * H) * W;
+        const float* wk = w.f.data() + c * KH * KW;
+        float* oc = out->f.data() + ((b * M + c) * OH) * OW;
+        for (int64_t ky = 0; ky < KH; ++ky) {
+          for (int64_t kx = 0; kx < KW; ++kx) {
+            const float wv = wk[ky * KW + kx];
+            if (wv == 0.f) continue;
+            for (int64_t oy = 0; oy < OH; ++oy) {
+              const int64_t iy = oy * sh - pt + ky * dh;
+              if (iy < 0 || iy >= H) continue;
+              const float* __restrict xrow = xc + iy * W;
+              float* __restrict orow = oc + oy * OW;
+              const int64_t ix0 = -pl + kx * dw;
+              const int64_t ox_lo = std::max<int64_t>(0, (-ix0 + sw - 1) / sw);
+              const int64_t ox_hi = std::min<int64_t>(
+                  OW, ix0 >= W ? 0 : (W - ix0 + sw - 1) / sw);
+              if (sw == 1) {
+                const float* __restrict xr = xrow + ix0;
+                for (int64_t ox = ox_lo; ox < ox_hi; ++ox)
+                  orow[ox] += wv * xr[ox];
+              } else {
+                for (int64_t ox = ox_lo; ox < ox_hi; ++ox)
+                  orow[ox] += wv * xrow[ix0 + ox * sw];
+              }
+            }
+          }
+        }
+      }
+    }
+    return true;
+  }
+
   std::vector<float> col(size_t(K) * ON);
   for (int64_t b = 0; b < N; ++b) {
     for (int64_t gi = 0; gi < g; ++gi) {
@@ -881,7 +1197,7 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
       }
       const float* A = w.f.data() + gi * Mg * K;  // [Mg, K]
       float* Cp = out->f.data() + ((b * M + gi * Mg) * OH) * OW;
-      Gemm(Mg, ON, K, A, col.data(), Cp);
+      Gemm(Mg, ON, K, A, col.data(), Cp, /*accumulate=*/false);
     }
   }
   return true;
@@ -1039,6 +1355,10 @@ int OnnxEngine::node_count() const {
   return impl_->model.graph().node_size();
 }
 
+const char* OnnxEngine::GemmBackend() {
+  return BlasSgemm() ? "openblas" : "portable";
+}
+
 std::unique_ptr<OnnxEngine> OnnxEngine::Load(const std::string& path,
                                              std::string* err) {
   std::unique_ptr<OnnxEngine> eng(new OnnxEngine);
@@ -1113,6 +1433,13 @@ bool OnnxEngine::Run(const float* input, const std::vector<int64_t>& in_dims,
 
   const pb::GraphProto& g = im.model.graph();
   const auto& table = OpTable();
+  // DEEPLAB_ENGINE_PROFILE=1: accumulate per-op-type wall time and print
+  // a table to stderr after the run (diagnostic only).
+  const bool profile = [] {
+    const char* env = std::getenv("DEEPLAB_ENGINE_PROFILE");
+    return env && *env && std::string(env) != "0";
+  }();
+  std::map<std::string, std::pair<double, int64_t>> prof;  // op → (ms, n)
   for (int k = 0; k < g.node_size(); ++k) {
     const auto& node = g.node(k);
     Ins ins;
@@ -1130,7 +1457,21 @@ bool OnnxEngine::Run(const float* input, const std::vector<int64_t>& in_dims,
       ins.push_back(&eit->second);
     }
     Tensor result;
+    auto t0 = std::chrono::steady_clock::now();
     if (!table.at(node.op_type())(node, ins, &result, err)) return false;
+    if (profile) {
+      double ms = std::chrono::duration<double, std::milli>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+      auto& cell = prof[node.op_type()];
+      cell.first += ms;
+      cell.second += 1;
+      // DEEPLAB_ENGINE_PROFILE=2: per-node lines for the heavy nodes
+      if (ms > 1.0 && std::getenv("DEEPLAB_ENGINE_PROFILE")[0] == '2')
+        std::fprintf(stderr, "    [%3d] %-14s %6.1f ms  out%s in%s\n", k,
+                     node.op_type().c_str(), ms, DimsStr(result.dims).c_str(),
+                     ins.empty() ? "()" : DimsStr(ins[0]->dims).c_str());
+    }
     env[node.output(0)] = std::move(result);
     // free dead intermediates
     for (const auto& name : node.input()) {
@@ -1139,6 +1480,17 @@ bool OnnxEngine::Run(const float* input, const std::vector<int64_t>& in_dims,
           name != node.output(0))
         env.erase(name);
     }
+  }
+  if (profile) {
+    std::fprintf(stderr, "engine profile (gemm=%s):\n", GemmBackend());
+    double total = 0;
+    for (const auto& kv : prof) total += kv.second.first;
+    for (const auto& kv : prof)
+      std::fprintf(stderr, "  %-14s %8.1f ms  x%-4lld (%4.1f%%)\n",
+                   kv.first.c_str(), kv.second.first,
+                   static_cast<long long>(kv.second.second),
+                   100.0 * kv.second.first / std::max(total, 1e-9));
+    std::fprintf(stderr, "  %-14s %8.1f ms\n", "TOTAL", total);
   }
   auto it = env.find(im.out_name);
   if (it == env.end()) {

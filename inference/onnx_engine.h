@@ -46,6 +46,11 @@ class OnnxEngine {
 
   int node_count() const;
 
+  // Which GEMM implementation convolutions will use: "openblas" when a
+  // wheel-bundled OpenBLAS was dlopen'd (see onnx_engine.cc), else
+  // "portable".
+  static const char* GemmBackend();
+
  private:
   OnnxEngine();
   struct Impl;
