@@ -577,6 +577,50 @@ def bench_crf(hw=512, num_classes=21, n_iters=5, iters=10):
     return _steady_state_ms(chain, unary, warmup=2, iters=iters)
 
 
+def bench_native_cli(hw=512, model="mobilenetv2_lite", count=10):
+    """Pure-C++ onnx engine invoke latency at the reference's published
+    on-device comparison point (512x512x21 fp32 — reference
+    inference/README.md:137,301: MNN 111.68 ms / TFLite 428.07 ms, both
+    x86 4-thread). Runs entirely on the host CPU, no TPU involvement.
+    Builds the binary and exports the .onnx on first use; both are
+    cached (build dir / ~/.cache) so warm reruns cost only the invokes.
+    """
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    build = os.path.join(repo, "inference", "build")
+    binary = os.path.join(build, "deeplabSegment")
+    if not os.path.exists(binary):
+        subprocess.run(
+            ["cmake", "-S", os.path.join(repo, "inference"), "-B", build],
+            check=True, capture_output=True, timeout=300)
+        subprocess.run(["cmake", "--build", build, "-j", "1"],
+                       check=True, capture_output=True, timeout=900)
+    cache = os.path.expanduser("~/.cache/deeplabv3p_tpu")
+    os.makedirs(cache, exist_ok=True)
+    onnx = os.path.join(cache, f"native_bench_{model}_{hw}.onnx")
+    if not os.path.exists(onnx):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "tools", "misc",
+                          "export_native_bench_model.py"),
+             onnx, model, str(hw)],
+            check=True, capture_output=True, timeout=900)
+    res = subprocess.run(
+        [binary, "--model_path", onnx,
+         "--image", os.path.join(repo, "example", "2007_000039.jpg"),
+         "--output", os.path.join(tempfile.gettempdir(),
+                                  "native_bench_mask.png"),
+         "--warmup_runs", "2", "--count", str(count)],
+        check=True, capture_output=True, text=True, timeout=600)
+    m = re.search(r"invoke average time: ([0-9.]+) ms", res.stdout)
+    if not m:
+        raise RuntimeError("no invoke timing in CLI output: " +
+                           res.stdout[-300:])
+    return float(m.group(1))
+
+
 def bench_learn(max_epochs=120, target=0.95):
     """End-to-end LEARNING proof on the device (VERDICT r2 item #1):
     overfit the vendored example/ pairs (+augmented copies) with the
@@ -807,6 +851,78 @@ def main():
         )
     _checkpoint("os8")
 
+    # ---- section 2c: cheap, high-information legs BEFORE the expensive
+    # train matrices (the 38-min watchdog cut these from a run whose
+    # lever+scaling sections ran long — headline-first ordering applies
+    # within the run too) -----------------------------------------------
+    log("fused eval step throughput ...")
+    try:
+        eval_ips = bench_eval_throughput()
+        configs["eval_fused"] = {
+            "model": "mobilenetv2_lite", "batch": 8,
+            "images_per_sec": round(eval_ips, 1),
+            "note": "uint8->normalize->forward->argmax->one-hot-matmul "
+                    "confusion in ONE XLA program",
+        }
+        log(f"  {eval_ips:.1f} img/s")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs["eval_fused"] = {"error": _exc_line(exc)}
+    _checkpoint("eval_fused")
+
+    log("dense-CRF postprocess on device ...")
+    try:
+        crf_ms = bench_crf()
+        configs["crf_postprocess"] = {
+            "input": 512, "num_classes": 21, "n_iters": 5,
+            "ms_per_image": round(crf_ms, 3),
+            "note": "reference runs this on the host CPU via pydensecrf "
+                    "(postprocess_np.py:10-28, the pipeline's CPU hot "
+                    "spot, typically O(1 s)/image at this size); no "
+                    "in-env baseline is measurable (pydensecrf not "
+                    "installable)",
+        }
+        log(f"  {crf_ms:.3f} ms/image")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs["crf_postprocess"] = {"error": _exc_line(exc)}
+    _checkpoint("crf_postprocess")
+
+    log("learning proof (overfit example/ pairs, score with eval) ...")
+    try:
+        miou, epochs, secs = bench_learn()
+        configs["learn"] = {
+            "model": "mobilenetv2", "input": 256, "epochs": epochs,
+            "train_miou": round(miou, 4), "target": 0.95,
+            "train_seconds": round(secs, 1),
+            "reached_target": bool(miou >= 0.95),
+        }
+        log(f"  train mIOU {miou:.4f} after {epochs} epochs ({secs:.0f}s)")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs["learn"] = {"error": _exc_line(exc)}
+    _checkpoint("learn")
+
+    # host-CPU only; a cold rig pays a one-time binary build + onnx
+    # export here (cached under ~/.cache afterwards)
+    log("native C++ onnx engine invoke (512x512x21 fp32, 1 thread) ...")
+    try:
+        native_ms = bench_native_cli()
+        configs["native_cli"] = {
+            "model": "mobilenetv2_lite", "input": 512, "engine": "onnx",
+            "threads": 1, "invoke_ms": round(native_ms, 1),
+            "reference_tflite_ms_4thread": 428.07,
+            "reference_mnn_ms_4thread": 111.68,
+            "note": "pure-C++ opset-13 interpreter "
+                    "(inference/onnx_engine.cc), zero Python/TF at "
+                    "runtime; reference inference/README.md:137,301",
+        }
+        log(f"  {native_ms:.1f} ms/invoke")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs["native_cli"] = {"error": _exc_line(exc)}
+    _checkpoint("native_cli")
+
     # ---- section 2b: the two MFU levers at each headline batch --------
     # (after every base headline so a pathological remote compile cannot
     # eat the round's record; remat='block' = per-block jax.checkpoint,
@@ -866,54 +982,6 @@ def main():
                 configs[mt][f"int8_b{batch}_error"] = _exc_line(exc)
     _checkpoint("int8")
 
-    log("fused eval step throughput ...")
-    try:
-        eval_ips = bench_eval_throughput()
-        configs["eval_fused"] = {
-            "model": "mobilenetv2_lite", "batch": 8,
-            "images_per_sec": round(eval_ips, 1),
-            "note": "uint8->normalize->forward->argmax->one-hot-matmul "
-                    "confusion in ONE XLA program",
-        }
-        log(f"  {eval_ips:.1f} img/s")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["eval_fused"] = {"error": _exc_line(exc)}
-    _checkpoint("eval_fused")
-
-    log("dense-CRF postprocess on device ...")
-    try:
-        crf_ms = bench_crf()
-        configs["crf_postprocess"] = {
-            "input": 512, "num_classes": 21, "n_iters": 5,
-            "ms_per_image": round(crf_ms, 3),
-            "note": "reference runs this on the host CPU via pydensecrf "
-                    "(postprocess_np.py:10-28, the pipeline's CPU hot "
-                    "spot, typically O(1 s)/image at this size); no "
-                    "in-env baseline is measurable (pydensecrf not "
-                    "installable)",
-        }
-        log(f"  {crf_ms:.3f} ms/image")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["crf_postprocess"] = {"error": _exc_line(exc)}
-    _checkpoint("crf_postprocess")
-
-    log("learning proof (overfit example/ pairs, score with eval) ...")
-    try:
-        miou, epochs, secs = bench_learn()
-        configs["learn"] = {
-            "model": "mobilenetv2", "input": 256, "epochs": epochs,
-            "train_miou": round(miou, 4), "target": 0.95,
-            "train_seconds": round(secs, 1),
-            "reached_target": bool(miou >= 0.95),
-        }
-        log(f"  train mIOU {miou:.4f} after {epochs} epochs ({secs:.0f}s)")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["learn"] = {"error": _exc_line(exc)}
-    _checkpoint("learn")
-
     # host->device transfer bandwidth of one training batch (8 x 512^2
     # uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that
     # bounds cli_train on this rig (a real TPU host pays PCIe/DMA here)
@@ -941,6 +1009,7 @@ def main():
     except Exception as exc:
         log(f"  failed: {_exc_line(exc)}")
         configs["cli_train"] = {"error": _exc_line(exc)}
+    _checkpoint("cli_train")
 
     _emit()
     # exceptions/atexit teardown against a dead tunnel can hang the

@@ -1109,6 +1109,19 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
 
   int64_t Mg = M / g, K = Cg * KH * KW, ON = OH * OW;
 
+  // optional per-out-channel bias (in[2]), produced by the BN-folding
+  // pass — one output pass instead of the folded chain's three
+  auto add_bias = [&] {
+    if (in.size() < 3) return;
+    const float* bias = in[2]->f.data();
+    for (int64_t b = 0; b < N; ++b)
+      for (int64_t m = 0; m < M; ++m) {
+        float* __restrict oc = out->f.data() + ((b * M + m) * OH) * OW;
+        const float bv = bias[m];
+        for (int64_t k = 0; k < ON; ++k) oc[k] += bv;
+      }
+  };
+
   // 1x1 stride-1 convs (the bulk of the MobileNet-family pointwise
   // convs) are a plain GEMM over the input feature map — no im2col copy.
   if (KH == 1 && KW == 1 && sh == 1 && sw == 1 && pt == 0 && pl == 0 &&
@@ -1121,6 +1134,7 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
         Gemm(Mg, ON, K, A, B, Cp, /*accumulate=*/false);
       }
     }
+    add_bias();
     return true;
   }
 
@@ -1158,6 +1172,7 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
         }
       }
     }
+    add_bias();
     return true;
   }
 
@@ -1200,6 +1215,7 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
       Gemm(Mg, ON, K, A, col.data(), Cp, /*accumulate=*/false);
     }
   }
+  add_bias();
   return true;
 }
 
@@ -1326,6 +1342,287 @@ const std::unordered_map<std::string, OpFn>& OpTable() {
   return *table;
 }
 
+// ---------------------------------------------------------------------
+// Load-time layout propagation.
+//
+// The exporter keeps the graph in NHWC and sandwiches every Conv/Pool
+// (NCHW-native ops) between Transpose(0,3,1,2) / Transpose(0,2,3,1)
+// pairs. The elementwise middle (BN folds, ReLU6 clips, residual adds,
+// SE scales) is layout-agnostic, so whole regions between sandwiches
+// can carry NCHW instead — deleting BOTH transposes of each bridge.
+// This is the layout pass every interpreter engine ships (the
+// reference's MNN app runs NC4HW4 end-to-end for the same reason).
+//
+// A tensor is relabeled NCHW iff its producer is a to-NHWC transpose or
+// a relabeled flexible node, AND every consumer is a to-NCHW transpose
+// or a relabeled flexible node (fixpoint shrink). Flexible = rank-4
+// elementwise chains whose initializer operands are channel vectors or
+// scalars (re-laid out for free: only the last dim is non-1, so
+// (1,1,1,C)->(1,C,1,1) is a dims change on the same buffer), plus
+// Concat/Reduce(keepdims) with their axes remapped 0,1,2,3 -> 0,2,3,1.
+// Graph inputs/outputs stay NHWC. Everything else pins its region out,
+// conservatively keeping its sandwiches.
+// ---------------------------------------------------------------------
+
+bool IsPerm(const pb::NodeProto& n, const std::vector<int64_t>& p) {
+  return n.op_type() == "Transpose" && AttrInts(n, "perm") == p;
+}
+
+int OptimizeLayout(pb::GraphProto* g,
+                   std::unordered_map<std::string, Tensor>* weights,
+                   const std::unordered_set<std::string>& pinned) {
+  const int n_nodes = g->node_size();
+  std::unordered_map<std::string, int> producer;
+  std::unordered_map<std::string, std::vector<int>> consumers;
+  for (int i = 0; i < n_nodes; ++i) {
+    const auto& n = g->node(i);
+    for (const auto& o : n.output()) producer[o] = i;
+    for (const auto& in : n.input())
+      if (!weights->count(in)) consumers[in].push_back(i);
+  }
+  static const std::unordered_set<std::string>* kFlex =
+      new std::unordered_set<std::string>{
+          "Add", "Sub", "Mul", "Div", "Max", "Min", "Exp", "Sqrt",
+          "Reciprocal", "Sigmoid", "Erf", "Tanh", "Identity",
+          "Concat", "ReduceSum", "ReduceMax", "ReduceMin", "ReduceMean",
+          "ReduceProd"};
+  auto to_nchw = [&](int i) { return IsPerm(g->node(i), {0, 3, 1, 2}); };
+  auto to_nhwc = [&](int i) { return IsPerm(g->node(i), {0, 2, 3, 1}); };
+
+  // static node eligibility
+  std::vector<bool> node_nchw(n_nodes, false);
+  for (int i = 0; i < n_nodes; ++i) {
+    const auto& n = g->node(i);
+    if (!kFlex->count(n.op_type())) continue;
+    bool ok = true;
+    if (n.op_type().rfind("Reduce", 0) == 0 &&
+        AttrInt(n, "keepdims", 1) != 1)
+      ok = false;
+    for (int a = 0; a < n.input_size() && ok; ++a) {
+      auto wit = weights->find(n.input(a));
+      if (wit == weights->end()) continue;  // tensor operand
+      if (n.op_type() == "ReduceSum" && a == 1) continue;  // axes input
+      const Tensor& w = wit->second;
+      if (w.dt != DT::F32) ok = false;
+      // free re-layout needs all dims 1 except possibly the last
+      for (size_t d = 0; ok && d + 1 < w.dims.size(); ++d)
+        if (w.dims[d] != 1) ok = false;
+    }
+    node_nchw[i] = ok;
+  }
+
+  // fixpoint shrink over tensor candidacy
+  std::unordered_map<std::string, bool> cand;
+  for (auto& kv : producer)
+    if (!pinned.count(kv.first)) cand[kv.first] = true;
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (int i = 0; i < n_nodes; ++i) {
+      if (!node_nchw[i]) continue;
+      const auto& n = g->node(i);
+      bool ok = true;
+      for (const auto& in : n.input()) {
+        if (weights->count(in)) continue;
+        auto it = cand.find(in);
+        if (it == cand.end() || !it->second) {  // incl. the graph input
+          ok = false;
+          break;
+        }
+      }
+      if (ok) {
+        auto it = cand.find(n.output(0));
+        ok = it != cand.end() && it->second;
+      }
+      if (!ok) {
+        node_nchw[i] = false;
+        changed = true;
+      }
+    }
+    for (auto& kv : cand) {
+      if (!kv.second) continue;
+      int p = producer.at(kv.first);
+      bool ok = to_nhwc(p) || node_nchw[p];
+      if (ok)
+        for (int c : consumers[kv.first])
+          if (!to_nchw(c) && !node_nchw[c]) {
+            ok = false;
+            break;
+          }
+      if (!ok) {
+        kv.second = false;
+        changed = true;
+      }
+    }
+  }
+
+  // drop bridge transposes whose tensor was relabeled
+  int removed = 0;
+  std::unordered_map<std::string, std::string> alias;
+  std::vector<bool> drop(n_nodes, false);
+  for (int i = 0; i < n_nodes; ++i) {
+    const auto& n = g->node(i);
+    if (to_nhwc(i)) {
+      auto it = cand.find(n.output(0));
+      if (it != cand.end() && it->second) {
+        alias[n.output(0)] = n.input(0);  // name now carries NCHW
+        drop[i] = true;
+        ++removed;
+      }
+    } else if (to_nchw(i)) {
+      auto it = cand.find(n.input(0));
+      if (it != cand.end() && it->second) {
+        alias[n.output(0)] = n.input(0);
+        drop[i] = true;
+        ++removed;
+      }
+    }
+  }
+  if (removed == 0) return 0;
+  auto resolve = [&](std::string name) {
+    for (auto it = alias.find(name); it != alias.end(); it = alias.find(name))
+      name = it->second;
+    return name;
+  };
+  static const int64_t kMap[4] = {0, 2, 3, 1};  // NHWC axis -> NCHW axis
+  auto remap_axis = [](int64_t v) { return kMap[v < 0 ? v + 4 : v]; };
+  for (int i = 0; i < n_nodes; ++i) {
+    if (drop[i]) continue;
+    auto* n = g->mutable_node(i);
+    for (int a = 0; a < n->input_size(); ++a)
+      n->set_input(a, resolve(n->input(a)));
+    if (!node_nchw[i]) continue;
+    // relabeled node: re-lay out initializer operands + remap axes
+    for (int a = 0; a < n->input_size(); ++a) {
+      auto wit = weights->find(n->input(a));
+      if (wit == weights->end()) continue;
+      const Tensor& w = wit->second;
+      std::string nn;
+      Tensor t = w;
+      if (n->op_type() == "ReduceSum" && a == 1) {
+        for (auto& v : t.i) v = remap_axis(v);
+        nn = n->input(a) + "/nchw_axes";
+      } else {
+        if (t.numel() <= 1) continue;  // scalars need no re-layout
+        t.dims = {1, t.dims.back(), 1, 1};  // channel vector, same buffer
+        nn = n->input(a) + "/nchw";
+      }
+      (*weights)[nn] = std::move(t);
+      n->set_input(a, nn);
+    }
+    for (auto& attr : *n->mutable_attribute()) {
+      if (attr.name() == "axis") attr.set_i(remap_axis(attr.i()));
+      else if (attr.name() == "axes")
+        for (int k = 0; k < attr.ints_size(); ++k)
+          attr.set_ints(k, remap_axis(attr.ints(k)));
+    }
+  }
+  google::protobuf::RepeatedPtrField<pb::NodeProto> kept;
+  for (int i = 0; i < n_nodes; ++i)
+    if (!drop[i]) kept.Add()->Swap(g->mutable_node(i));
+  g->mutable_node()->Swap(&kept);
+  return removed;
+}
+
+// ---------------------------------------------------------------------
+// Load-time BN folding (runs AFTER OptimizeLayout so the chains are in
+// NCHW with (1,C,1,1) channel-vector constants).
+//
+// The exporter emits BatchNorm as an affine chain after each conv:
+//   Conv -> Sub(mean) -> Mul(scale) -> Add(beta)   (orders/subsets vary)
+// Any run of Sub/Add/Mul/Div whose second operand is a per-out-channel
+// (1,C,1,1) or scalar f32 initializer composes to y = a*conv(x) + c,
+// which folds into the conv: W' = a[m]*W[m,...], bias c[m] — deleting
+// three full-tensor read+write passes per conv. Standard interpreter-
+// engine constant folding (TFLite/MNN both ship it).
+// ---------------------------------------------------------------------
+
+int FoldBatchNorm(pb::GraphProto* g,
+                  std::unordered_map<std::string, Tensor>* weights,
+                  const std::unordered_set<std::string>& pinned) {
+  const int n_nodes = g->node_size();
+  std::unordered_map<std::string, int> producer;
+  std::unordered_map<std::string, int> n_consumers;
+  std::unordered_map<std::string, int> sole_consumer;
+  for (int i = 0; i < n_nodes; ++i) {
+    const auto& n = g->node(i);
+    for (const auto& o : n.output()) producer[o] = i;
+    for (const auto& in : n.input())
+      if (!weights->count(in)) {
+        n_consumers[in] += 1;
+        sole_consumer[in] = i;
+      }
+  }
+  static const std::unordered_set<std::string>* kAffine =
+      new std::unordered_set<std::string>{"Add", "Sub", "Mul", "Div"};
+  std::vector<bool> drop(n_nodes, false);
+  int folded = 0;
+  for (int i = 0; i < n_nodes; ++i) {
+    auto* conv = g->mutable_node(i);
+    if (conv->op_type() != "Conv" || conv->input_size() != 2) continue;
+    auto wit = weights->find(conv->input(1));
+    if (wit == weights->end() || wit->second.dt != DT::F32) continue;
+    const int64_t M = wit->second.dims.empty() ? 0 : wit->second.dims[0];
+    if (M <= 0) continue;
+    // walk the affine chain
+    std::vector<float> scale(size_t(M), 1.f), shift(size_t(M), 0.f);
+    std::vector<int> chain;
+    std::string cur = conv->output(0);
+    while (true) {
+      // pinned names (graph outputs) must keep their producer node
+      if (n_consumers[cur] != 1 || pinned.count(cur)) break;
+      int j = sole_consumer[cur];
+      const auto& n = g->node(j);
+      if (drop[j] || !kAffine->count(n.op_type())) break;
+      if (n.input_size() != 2 || n.input(0) != cur) break;
+      auto cit = weights->find(n.input(1));
+      if (cit == weights->end() || cit->second.dt != DT::F32) break;
+      const Tensor& cw = cit->second;
+      // accept (1,C,1,1) channel vectors (post-layout-pass form) and
+      // scalars only — anything else may broadcast along H/W
+      const bool chan = cw.dims.size() == 4 && cw.dims[0] == 1 &&
+                        cw.dims[1] == M && cw.dims[2] == 1 &&
+                        cw.dims[3] == 1;
+      if (!chan && cw.numel() != 1) break;
+      auto val = [&](int64_t m) { return chan ? cw.f[m] : cw.f[0]; };
+      const std::string& op = n.op_type();
+      for (int64_t m = 0; m < M; ++m) {
+        if (op == "Add") shift[m] += val(m);
+        else if (op == "Sub") shift[m] -= val(m);
+        else if (op == "Mul") { scale[m] *= val(m); shift[m] *= val(m); }
+        else { scale[m] /= val(m); shift[m] /= val(m); }
+      }
+      chain.push_back(j);
+      cur = n.output(0);
+    }
+    if (chain.empty()) continue;
+    // fold: W' = scale[m] * W, bias = shift
+    Tensor w2 = wit->second;
+    const int64_t per_m = w2.numel() / M;
+    for (int64_t m = 0; m < M; ++m)
+      for (int64_t k = 0; k < per_m; ++k) w2.f[m * per_m + k] *= scale[m];
+    Tensor bias;
+    bias.dt = DT::F32;
+    bias.dims = {M};
+    bias.f = shift;
+    const std::string wname = conv->input(1) + "/bnfold";
+    const std::string bname = conv->output(0) + "/bnfold_bias";
+    (*weights)[wname] = std::move(w2);
+    (*weights)[bname] = std::move(bias);
+    conv->set_input(1, wname);
+    conv->add_input(bname);
+    conv->set_output(0, cur);  // take over the chain's final name
+    for (int j : chain) drop[j] = true;
+    folded += int(chain.size());
+  }
+  if (!folded) return 0;
+  google::protobuf::RepeatedPtrField<pb::NodeProto> kept;
+  for (int i = 0; i < n_nodes; ++i)
+    if (!drop[i]) kept.Add()->Swap(g->mutable_node(i));
+  g->mutable_node()->Swap(&kept);
+  return folded;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -1399,6 +1696,29 @@ std::unique_ptr<OnnxEngine> OnnxEngine::Load(const std::string& path,
   im.out_name = g.output(0).name();
   for (const auto& d : g.output(0).type().tensor_type().shape().dim())
     im.out_dims.push_back(d.dim_value());
+
+  // layout propagation (see OptimizeLayout above); the graph's declared
+  // outputs stay NHWC. DEEPLAB_ENGINE_NO_LAYOUT_OPT=1 disables.
+  {
+    const char* off = std::getenv("DEEPLAB_ENGINE_NO_LAYOUT_OPT");
+    if (!(off && *off && std::string(off) != "0")) {
+      std::unordered_set<std::string> pinned;
+      for (const auto& o : g.output()) pinned.insert(o.name());
+      int removed = OptimizeLayout(im.model.mutable_graph(), &im.weights,
+                                   pinned);
+      if (removed && std::getenv("DEEPLAB_ENGINE_PROFILE"))
+        std::fprintf(stderr, "layout pass: %d bridge transposes removed\n",
+                     removed);
+      const char* nofold = std::getenv("DEEPLAB_ENGINE_NO_BNFOLD");
+      if (!(nofold && *nofold && std::string(nofold) != "0")) {
+        int folded = FoldBatchNorm(im.model.mutable_graph(), &im.weights,
+                                   pinned);
+        if (folded && std::getenv("DEEPLAB_ENGINE_PROFILE"))
+          std::fprintf(stderr, "bn-fold pass: %d affine nodes folded\n",
+                       folded);
+      }
+    }
+  }
 
   const auto& table = OpTable();
   for (int k = 0; k < g.node_size(); ++k) {

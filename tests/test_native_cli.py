@@ -170,3 +170,114 @@ def test_onnx_engine_matches_jax(binary, tmp_path, model_name, hw):
     assert mask.shape[:2] == (hw, hw)
     # no-Python execution model: the onnx engine must not touch CPython
     assert "onnx graph loaded" in res.stdout
+
+# ---------------------------------------------------------------------
+# Op-level edge cases for the engine's vectorized fast paths (broadcast
+# tail planner, flattened reduce, blocked/merged transpose, einsum
+# rank-1-update path — onnx_engine.cc). Each case is a tiny jitted fn
+# exported through the real exporter and compared against JAX on the
+# exact same input via --input_raw/--dump_raw.
+# ---------------------------------------------------------------------
+
+EDGE_HW = 16
+
+EDGE_CASES = {
+    # broadcast with a non-trailing broadcast axis: the planner's tail
+    # must stop mid-shape
+    "mid_broadcast": """
+w1 = jnp.arange(EDGE_HW * 3, dtype=jnp.float32).reshape(EDGE_HW, 1, 3) / 7.0
+w2 = jnp.arange(EDGE_HW, dtype=jnp.float32).reshape(1, EDGE_HW, 1) / 5.0
+fn = lambda x: (x + w1) * (w2 + 0.5)
+""",
+    # scalar and per-channel broadcasts (all-zero-stride tails)
+    "scalar_channel": """
+m = jnp.array([0.2, -0.4, 0.6]); s = jnp.array([1.5, 0.7, 2.0])
+fn = lambda x: (x - m) / s * 1.7 - 0.3
+""",
+    # reduces over middle axes (elementwise-accumulate runs) and the
+    # last axis (horizontal runs), fed back through broadcasts
+    "reduce_axes": """
+def fn(x):
+    a = x - jnp.mean(x, axis=1, keepdims=True)
+    b = x - jnp.max(x, axis=2, keepdims=True)
+    c = x - jnp.sum(x, axis=3, keepdims=True)
+    return jnp.concatenate([a, b, c], axis=-1)
+""",
+    # softmax = Exp/ReduceMax/ReduceSum/Div over the channel axis
+    "softmax_tail": """
+fn = lambda x: jax.nn.softmax(x * 3.0, axis=-1)
+""",
+    # spatial transpose (0,2,1,3) composes with elementwise; plus a
+    # full reversal that exercises the axis-merge canonicalizer
+    "transpose_odd": """
+def fn(x):
+    y = jnp.transpose(x, (0, 2, 1, 3)) + x
+    z = jnp.transpose(jnp.transpose(y, (0, 3, 2, 1)), (0, 3, 2, 1))
+    return y * 0.5 + z * 0.5
+""",
+    # einsum with the contraction on the channel axis (rank-1-update
+    # fast path) and a follow-up matmul back
+    "einsum_channel": """
+w = jnp.arange(3 * 5, dtype=jnp.float32).reshape(3, 5) / 11.0
+w2 = jnp.arange(5 * 2, dtype=jnp.float32).reshape(5, 2) / 3.0
+fn = lambda x: jnp.einsum("bhwc,cd->bhwd", x, w) @ w2
+""",
+}
+
+
+@pytest.fixture(scope="module")
+def edge_case_artifacts(tmp_path_factory):
+    """Export every edge-case graph in ONE subprocess (jax import + CPU
+    backend init dominate; batching keeps this fixture cheap)."""
+    out_dir = str(tmp_path_factory.mktemp("engine_edges"))
+    body = "\n".join(
+        f"def _build_{name}():\n"
+        + "\n".join("    " + line for line in code.strip().splitlines())
+        + "\n    return fn\n"
+        f"CASES[{name!r}] = _build_{name}()"
+        for name, code in EDGE_CASES.items()
+    )
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {REPO!r})
+import numpy as np
+import jax.numpy as jnp
+from deeplabv3p_tpu.export.onnx.convert import export_onnx, save_onnx
+EDGE_HW = {EDGE_HW}
+CASES = {{}}
+{body}
+rng = np.random.RandomState(7)
+x = rng.randn(1, EDGE_HW, EDGE_HW, 3).astype(np.float32)
+x.tofile({out_dir!r} + "/input.bin")
+for name, fn in CASES.items():
+    save_onnx(export_onnx(fn, (jnp.zeros((1, EDGE_HW, EDGE_HW, 3), jnp.float32),)),
+              {out_dir!r} + "/" + name + ".onnx")
+    np.save({out_dir!r} + "/" + name + "_ref.npy", np.asarray(fn(jnp.asarray(x))))
+print("exported", len(CASES))
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd=REPO, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return out_dir
+
+
+@pytest.mark.parametrize("case", sorted(EDGE_CASES))
+def test_onnx_engine_op_edge_cases(binary, edge_case_artifacts, case,
+                                   tmp_path):
+    raw_path = str(tmp_path / "raw.bin")
+    res = subprocess.run(
+        [binary,
+         "--model_path", os.path.join(edge_case_artifacts, case + ".onnx"),
+         "--input_raw", os.path.join(edge_case_artifacts, "input.bin"),
+         "--input_shape", f"{EDGE_HW}x{EDGE_HW}",
+         "--dump_raw", raw_path,
+         "--output", str(tmp_path / "mask.png")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, (res.stdout[-800:], res.stderr[-1500:])
+    ref = np.load(os.path.join(edge_case_artifacts, case + "_ref.npy"))
+    got = np.fromfile(raw_path, dtype=np.float32).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
