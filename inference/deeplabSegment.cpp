@@ -329,6 +329,9 @@ void Usage(const char* prog) {
       "  --input_shape HxW   model input (default 512x512)\n"
       "  --count N           timed invoke loop count (default 1)\n"
       "  --warmup_runs N     warmup invokes (default 1)\n"
+      "  --threads N         worker threads, onnx engine only (default 1)\n"
+      "  --input_mean F      normalization mean (default 127.5)\n"
+      "  --input_std F       normalization std (default 127.5)\n"
       "  --output PATH       mask PNG out (default <image>_mask.png)\n"
       "  --keep_shape        skip resize of mask back to original size\n"
       "  --dump_raw PATH     also write the raw f32 score tensor (NHWC)\n"
@@ -348,7 +351,8 @@ int main(int argc, char** argv) {
   std::string engine = "auto";
   std::string dump_raw, input_raw;
   int num_classes = 21, in_h = 512, in_w = 512;
-  int count = 1, warmup = 1;
+  int count = 1, warmup = 1, threads = 1;
+  float input_mean = 127.5f, input_std = 127.5f;
   bool keep_shape = false;
 
   static option opts[] = {
@@ -360,6 +364,9 @@ int main(int argc, char** argv) {
       {"input_shape", required_argument, nullptr, 's'},
       {"count", required_argument, nullptr, 'n'},
       {"warmup_runs", required_argument, nullptr, 'w'},
+      {"threads", required_argument, nullptr, 'T'},
+      {"input_mean", required_argument, nullptr, 'b'},
+      {"input_std", required_argument, nullptr, 'd'},
       {"output", required_argument, nullptr, 'o'},
       {"keep_shape", no_argument, nullptr, 'k'},
       {"dump_raw", required_argument, nullptr, 'r'},
@@ -367,8 +374,8 @@ int main(int argc, char** argv) {
       {"help", no_argument, nullptr, 'h'},
       {nullptr, 0, nullptr, 0}};
   int opt;
-  while ((opt = getopt_long(argc, argv, "m:t:e:i:c:s:n:w:o:kr:R:h", opts,
-                            nullptr)) != -1) {
+  while ((opt = getopt_long(argc, argv, "m:t:e:i:c:s:n:w:T:b:d:o:kr:R:h",
+                            opts, nullptr)) != -1) {
     switch (opt) {
       case 'm': model_path = optarg; break;
       case 't': model_type = optarg; break;
@@ -378,6 +385,9 @@ int main(int argc, char** argv) {
       case 's': sscanf(optarg, "%dx%d", &in_h, &in_w); break;
       case 'n': count = atoi(optarg); break;
       case 'w': warmup = atoi(optarg); break;
+      case 'T': threads = atoi(optarg); break;
+      case 'b': input_mean = float(atof(optarg)); break;
+      case 'd': input_std = float(atof(optarg)); break;
       case 'o': output_path = optarg; break;
       case 'k': keep_shape = true; break;
       case 'r': dump_raw = optarg; break;
@@ -434,7 +444,7 @@ int main(int argc, char** argv) {
                 img.width, img.height, img.channels);
     t0 = NowMs();
     ResizeBilinear(img, in_w, in_h, &resized);
-    FillNormalized(resized, 127.5f, 127.5f, &input);
+    FillNormalized(resized, input_mean, input_std, &input);
     std::printf("preprocess time: %.3f ms\n", NowMs() - t0);
   }
 
@@ -444,6 +454,7 @@ int main(int argc, char** argv) {
 
   if (engine == "onnx") {
     // pure-C++ engine: no Python at runtime
+    dlp::OnnxEngine::SetNumThreads(threads);
     std::string err;
     auto eng = dlp::OnnxEngine::Load(model_path, &err);
     if (!eng) {
@@ -464,10 +475,10 @@ int main(int argc, char** argv) {
       in_h = int(gd[1]);
       in_w = int(gd[2]);
       ResizeBilinear(img, in_w, in_h, &resized);
-      FillNormalized(resized, 127.5f, 127.5f, &input);
+      FillNormalized(resized, input_mean, input_std, &input);
     }
-    std::printf("onnx graph loaded: %d nodes (gemm=%s)\n",
-                eng->node_count(), dlp::OnnxEngine::GemmBackend());
+    std::printf("onnx graph loaded: %d nodes (gemm=%s, threads=%d)\n",
+                eng->node_count(), dlp::OnnxEngine::GemmBackend(), threads);
     std::vector<int64_t> in_dims = {1, in_h, in_w, 3};
     std::vector<int64_t> out_dims;
     auto invoke = [&]() {

@@ -20,6 +20,7 @@
 #include <dlfcn.h>
 
 #include <algorithm>
+#include <thread>
 #include <chrono>
 #include <cmath>
 #include <cstdio>
@@ -189,24 +190,36 @@ void ForEachBroadcast2(const std::vector<int64_t>& dims,
                        const std::vector<int64_t>& sb, const float* pa,
                        const float* pb, float* po, F f) {
   BroadcastPlan p = PlanBroadcast(dims, {sa, sb});
-  OffsetWalker w(p.outer_dims, p.outer);
   const int64_t L = p.inner;
   const bool ia = p.step[0] == 1, ib = p.step[1] == 1;
-  do {
-    const float* __restrict A = pa + w.off[0];
-    const float* __restrict B = pb + w.off[1];
+  auto span = [&](const float* __restrict A, const float* __restrict B,
+                  float* __restrict o, int64_t len) {
     if (ia && ib) {
-      for (int64_t i = 0; i < L; ++i) po[i] = f(A[i], B[i]);
+      for (int64_t i = 0; i < len; ++i) o[i] = f(A[i], B[i]);
     } else if (ia) {
       const float y = *B;
-      for (int64_t i = 0; i < L; ++i) po[i] = f(A[i], y);
+      for (int64_t i = 0; i < len; ++i) o[i] = f(A[i], y);
     } else if (ib) {
       const float x = *A;
-      for (int64_t i = 0; i < L; ++i) po[i] = f(x, B[i]);
+      for (int64_t i = 0; i < len; ++i) o[i] = f(x, B[i]);
     } else {
       const float v = f(*A, *B);
-      for (int64_t i = 0; i < L; ++i) po[i] = v;
+      for (int64_t i = 0; i < len; ++i) o[i] = v;
     }
+  };
+  int64_t outer_count = 1;
+  for (int64_t d : p.outer_dims) outer_count *= d;
+  if (outer_count == 1) {
+    // whole-tensor flat tail (same-shape or scalar operands, the common
+    // big case): chunk it across the worker threads
+    ParallelFor(L, 1 << 15, [&](int64_t lo, int64_t hi) {
+      span(pa + (ia ? lo : 0), pb + (ib ? lo : 0), po + lo, hi - lo);
+    });
+    return;
+  }
+  OffsetWalker w(p.outer_dims, p.outer);
+  do {
+    span(pa + w.off[0], pb + w.off[1], po, L);
     po += L;
   } while (w.Next());
 }
@@ -323,6 +336,13 @@ using CblasSgemmFn = void (*)(int order, int trans_a, int trans_b, int m,
                               int lda, const float* b, int ldb, float beta,
                               float* c, int ldc);
 
+// --threads state. g_threads drives the engine's own chunked loops;
+// the OpenBLAS thread setter (resolved from the same dlopen handle as
+// sgemm) covers the GEMM side.
+int g_threads = 1;
+using BlasSetThreadsFn = void (*)(int);
+BlasSetThreadsFn g_blas_set_threads = nullptr;
+
 CblasSgemmFn ResolveBlasSgemm() {
   std::vector<std::string> candidates;
   if (const char* env = std::getenv("DEEPLAB_OPENBLAS")) {
@@ -337,9 +357,19 @@ CblasSgemmFn ResolveBlasSgemm() {
     if (path.empty()) continue;
     void* h = dlopen(path.c_str(), RTLD_NOW | RTLD_LOCAL);
     if (!h) continue;
-    for (const char* sym : {"cblas_sgemm", "scipy_cblas_sgemm"})
-      if (void* fn = dlsym(h, sym))
+    for (const char* sym : {"cblas_sgemm", "scipy_cblas_sgemm"}) {
+      if (void* fn = dlsym(h, sym)) {
+        for (const char* st : {"scipy_openblas_set_num_threads",
+                               "openblas_set_num_threads",
+                               "goto_set_num_threads"}) {
+          if (void* sfn = dlsym(h, st)) {
+            g_blas_set_threads = reinterpret_cast<BlasSetThreadsFn>(sfn);
+            break;
+          }
+        }
         return reinterpret_cast<CblasSgemmFn>(fn);
+      }
+    }
     dlclose(h);
   }
   return nullptr;
@@ -348,6 +378,32 @@ CblasSgemmFn ResolveBlasSgemm() {
 CblasSgemmFn BlasSgemm() {
   static CblasSgemmFn fn = ResolveBlasSgemm();
   return fn;
+}
+
+// Chunked parallel-for over [0, n): splits into at most g_threads
+// contiguous ranges of >= grain elements and runs them on plain
+// std::threads (one of them this thread). Each range writes a disjoint
+// output span, so there is no shared mutable state and no accumulation
+// reorder — multithreaded results are bit-identical. Thread spawn is
+// ~50 us, so `grain` keeps small ops inline.
+template <typename F>
+void ParallelFor(int64_t n, int64_t grain, F body) {
+  if (n <= 0) return;
+  const int64_t chunks =
+      std::min<int64_t>(g_threads, std::max<int64_t>(1, n / grain));
+  if (chunks <= 1) {
+    body(int64_t(0), n);
+    return;
+  }
+  const int64_t per = (n + chunks - 1) / chunks;
+  std::vector<std::thread> ts;
+  ts.reserve(size_t(chunks - 1));
+  for (int64_t t = 1; t < chunks; ++t) {
+    const int64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo < hi) ts.emplace_back([=, &body] { body(lo, hi); });
+  }
+  body(int64_t(0), std::min(n, per));
+  for (auto& th : ts) th.join();
 }
 
 // Portable fallback: m-k-n loop order keeps the inner loop contiguous in
@@ -449,17 +505,20 @@ bool OpUnary(const pb::NodeProto& n, const Ins& in, Tensor* out,
   int64_t total = a.numel();
   const float* __restrict p = a.f.data();
   float* __restrict q = out->f.data();
-  if (op == "Exp") for (int64_t k = 0; k < total; ++k) q[k] = std::exp(p[k]);
-  else if (op == "Sqrt") for (int64_t k = 0; k < total; ++k) q[k] = std::sqrt(p[k]);
-  else if (op == "Reciprocal") for (int64_t k = 0; k < total; ++k) q[k] = 1.f / p[k];
-  else if (op == "Sigmoid")
-    for (int64_t k = 0; k < total; ++k) q[k] = 1.f / (1.f + std::exp(-p[k]));
-  else if (op == "Erf")
-    for (int64_t k = 0; k < total; ++k) q[k] = std::erf(p[k]);
-  else if (op == "Tanh")
-    for (int64_t k = 0; k < total; ++k) q[k] = std::tanh(p[k]);
-  else return Fail(err, n, "unknown unary op");
-  return true;
+  auto map1 = [&](auto f) {
+    ParallelFor(total, 1 << 15, [&](int64_t lo, int64_t hi) {
+      for (int64_t k = lo; k < hi; ++k) q[k] = f(p[k]);
+    });
+    return true;
+  };
+  if (op == "Exp") return map1([](float v) { return std::exp(v); });
+  if (op == "Sqrt") return map1([](float v) { return std::sqrt(v); });
+  if (op == "Reciprocal") return map1([](float v) { return 1.f / v; });
+  if (op == "Sigmoid")
+    return map1([](float v) { return 1.f / (1.f + std::exp(-v)); });
+  if (op == "Erf") return map1([](float v) { return std::erf(v); });
+  if (op == "Tanh") return map1([](float v) { return std::tanh(v); });
+  return Fail(err, n, "unknown unary op");
 }
 
 bool OpEqual(const pb::NodeProto& n, const Ins& in, Tensor* out,
@@ -1141,8 +1200,13 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
   // Depthwise (group == channel) convs: direct stencil, row-contiguous
   // inner loop — im2col+GEMV per channel costs more than the math.
   if (Cg == 1 && Mg == 1) {
+    // each channel's output plane is disjoint — chunk channels across
+    // the worker threads (grain sized so tiny maps stay inline)
+    const int64_t grain_c = std::max<int64_t>(
+        1, (1 << 18) / std::max<int64_t>(1, OH * OW * KH * KW));
     for (int64_t b = 0; b < N; ++b) {
-      for (int64_t c = 0; c < C; ++c) {
+      ParallelFor(C, grain_c, [&](int64_t clo, int64_t chi) {
+      for (int64_t c = clo; c < chi; ++c) {
         const float* xc = x.f.data() + ((b * C + c) * H) * W;
         const float* wk = w.f.data() + c * KH * KW;
         float* oc = out->f.data() + ((b * M + c) * OH) * OW;
@@ -1171,6 +1235,7 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
           }
         }
       }
+      });
     }
     add_bias();
     return true;
@@ -1654,6 +1719,12 @@ int OnnxEngine::node_count() const {
 
 const char* OnnxEngine::GemmBackend() {
   return BlasSgemm() ? "openblas" : "portable";
+}
+
+void OnnxEngine::SetNumThreads(int n) {
+  g_threads = std::max(1, n);
+  BlasSgemm();  // force the dlopen so g_blas_set_threads is resolved
+  if (g_blas_set_threads) g_blas_set_threads(g_threads);
 }
 
 std::unique_ptr<OnnxEngine> OnnxEngine::Load(const std::string& path,

@@ -51,6 +51,14 @@ class OnnxEngine {
   // "portable".
   static const char* GemmBackend();
 
+  // Engine-wide worker thread count (the reference apps' --threads knob:
+  // tflite cpp:206-208, MNN cpp:249). Applies to BLAS GEMMs (forwarded
+  // to OpenBLAS when its set_num_threads export is present) and to the
+  // engine's own chunked loops (elementwise, depthwise conv). Chunk
+  // boundaries don't reorder any float accumulation, so results are
+  // bit-identical to single-thread for the engine's own loops.
+  static void SetNumThreads(int n);
+
  private:
   OnnxEngine();
   struct Impl;

@@ -281,3 +281,32 @@ def test_onnx_engine_op_edge_cases(binary, edge_case_artifacts, case,
     ref = np.load(os.path.join(edge_case_artifacts, case + "_ref.npy"))
     got = np.fromfile(raw_path, dtype=np.float32).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+def test_onnx_engine_threads_parity(binary, tmp_path):
+    """--threads N (the reference apps' thread knob: tflite cpp:206-208,
+    MNN cpp:249) must not change the numbers. The engine's own chunked
+    loops are bit-exact by construction (disjoint output spans, no
+    accumulation reorder); the BLAS side is compared at a tight
+    tolerance. Runs both thread counts on the SAME exported graph and
+    input via --input_raw/--dump_raw."""
+    onnx_path, img_path, _ = _export_onnx_case(
+        "mobilenetv2_lite", 32, NUM_CLASSES, str(tmp_path)
+    )
+    raws = {}
+    for nt in (1, 3):
+        raw_path = str(tmp_path / f"raw_{nt}.bin")
+        res = subprocess.run(
+            [binary,
+             "--model_path", onnx_path,
+             "--image", img_path,
+             "--input_shape", "32x32",
+             "--threads", str(nt),
+             "--dump_raw", raw_path,
+             "--keep_shape",
+             "--output", str(tmp_path / f"mask_{nt}.png")],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert res.returncode == 0, (res.stdout[-800:], res.stderr[-1500:])
+        assert f"threads={nt}" in res.stdout
+        raws[nt] = np.fromfile(raw_path, dtype=np.float32)
+    np.testing.assert_allclose(raws[3], raws[1], rtol=1e-6, atol=1e-6)
