@@ -254,6 +254,12 @@ std::string AttrStr(const pb::NodeProto& n, const std::string& name,
   return a ? a->s() : dflt;
 }
 
+float AttrFloat(const pb::NodeProto& n, const std::string& name,
+                float dflt) {
+  const auto* a = FindAttr(n, name);
+  return a ? a->f() : dflt;
+}
+
 // ---------------------------------------------------------------------
 // TensorProto → Tensor
 // ---------------------------------------------------------------------
@@ -1168,17 +1174,31 @@ bool OpConv(const pb::NodeProto& n, const Ins& in, Tensor* out,
 
   int64_t Mg = M / g, K = Cg * KH * KW, ON = OH * OW;
 
-  // optional per-out-channel bias (in[2]), produced by the BN-folding
-  // pass — one output pass instead of the folded chain's three
+  // output epilogue: per-out-channel bias (in[2], from the BN-folding
+  // pass) and/or the clamp the clip-fusion pass attached (ReLU/ReLU6's
+  // Max/Min nodes) — one output pass instead of the separate chains'
+  const float clip_lo =
+      AttrFloat(n, "dlp_clip_lo", -std::numeric_limits<float>::infinity());
+  const float clip_hi =
+      AttrFloat(n, "dlp_clip_hi", std::numeric_limits<float>::infinity());
+  const bool has_clip = std::isfinite(clip_lo) || std::isfinite(clip_hi);
   auto add_bias = [&] {
-    if (in.size() < 3) return;
-    const float* bias = in[2]->f.data();
-    for (int64_t b = 0; b < N; ++b)
-      for (int64_t m = 0; m < M; ++m) {
-        float* __restrict oc = out->f.data() + ((b * M + m) * OH) * OW;
-        const float bv = bias[m];
-        for (int64_t k = 0; k < ON; ++k) oc[k] += bv;
+    const float* bias = in.size() >= 3 ? in[2]->f.data() : nullptr;
+    if (!bias && !has_clip) return;
+    ParallelFor(N * M, std::max<int64_t>(1, (1 << 17) / std::max<int64_t>(
+                                                            1, ON)),
+                [&](int64_t lo, int64_t hi) {
+      for (int64_t bm = lo; bm < hi; ++bm) {
+        float* __restrict oc = out->f.data() + bm * ON;
+        const float bv = bias ? bias[bm % M] : 0.f;
+        if (has_clip) {
+          for (int64_t k = 0; k < ON; ++k)
+            oc[k] = std::min(std::max(oc[k] + bv, clip_lo), clip_hi);
+        } else {
+          for (int64_t k = 0; k < ON; ++k) oc[k] += bv;
+        }
       }
+    });
   };
 
   // 1x1 stride-1 convs (the bulk of the MobileNet-family pointwise
@@ -1688,6 +1708,76 @@ int FoldBatchNorm(pb::GraphProto* g,
   return folded;
 }
 
+// ---------------------------------------------------------------------
+// Load-time clip fusion (runs AFTER FoldBatchNorm): a Conv followed by
+// scalar-bound Max/Min nodes — the exporter's ReLU / ReLU6 form — takes
+// the clamp into the conv's existing bias epilogue pass, deleting two
+// full-tensor read+write passes per activation. The fused bounds ride
+// the node as dlp_clip_lo/hi float attributes read by OpConv. Standard
+// interpreter-engine fusion (TFLite's fused_activation_function,
+// MNN's conv relu/relu6 flag).
+// ---------------------------------------------------------------------
+
+int FuseClip(pb::GraphProto* g,
+             std::unordered_map<std::string, Tensor>* weights,
+             const std::unordered_set<std::string>& pinned) {
+  const int n_nodes = g->node_size();
+  std::unordered_map<std::string, int> n_consumers, sole_consumer;
+  for (int i = 0; i < n_nodes; ++i) {
+    const auto& n = g->node(i);
+    for (const auto& in : n.input())
+      if (!weights->count(in)) {
+        n_consumers[in] += 1;
+        sole_consumer[in] = i;
+      }
+  }
+  std::vector<bool> drop(n_nodes, false);
+  int fused = 0;
+  const float inf = std::numeric_limits<float>::infinity();
+  for (int i = 0; i < n_nodes; ++i) {
+    auto* conv = g->mutable_node(i);
+    if (conv->op_type() != "Conv") continue;
+    float lo = -inf, hi = inf;
+    std::vector<int> chain;
+    std::string cur = conv->output(0);
+    while (true) {
+      if (n_consumers[cur] != 1 || pinned.count(cur)) break;
+      const int j = sole_consumer[cur];
+      if (drop[j]) break;
+      const auto& n = g->node(j);
+      const std::string& op = n.op_type();
+      if ((op != "Max" && op != "Min") || n.input_size() != 2) break;
+      // the bound constant may sit on either side (Max/Min commute)
+      const int ci = weights->count(n.input(0)) ? 0 : 1;
+      if (n.input(1 - ci) != cur) break;
+      auto cit = weights->find(n.input(ci));
+      if (cit == weights->end() || cit->second.dt != DT::F32 ||
+          cit->second.numel() != 1)
+        break;
+      if (op == "Max") lo = std::max(lo, cit->second.f[0]);
+      else hi = std::min(hi, cit->second.f[0]);
+      chain.push_back(j);
+      cur = n.output(0);
+    }
+    if (chain.empty()) continue;
+    auto* alo = conv->add_attribute();
+    alo->set_name("dlp_clip_lo");
+    alo->set_f(lo);
+    auto* ahi = conv->add_attribute();
+    ahi->set_name("dlp_clip_hi");
+    ahi->set_f(hi);
+    conv->set_output(0, cur);  // take over the chain's final name
+    for (int j : chain) drop[j] = true;
+    fused += int(chain.size());
+  }
+  if (!fused) return 0;
+  google::protobuf::RepeatedPtrField<pb::NodeProto> kept;
+  for (int i = 0; i < n_nodes; ++i)
+    if (!drop[i]) kept.Add()->Swap(g->mutable_node(i));
+  g->mutable_node()->Swap(&kept);
+  return fused;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -1787,6 +1877,14 @@ std::unique_ptr<OnnxEngine> OnnxEngine::Load(const std::string& path,
         if (folded && std::getenv("DEEPLAB_ENGINE_PROFILE"))
           std::fprintf(stderr, "bn-fold pass: %d affine nodes folded\n",
                        folded);
+      }
+      const char* noclip = std::getenv("DEEPLAB_ENGINE_NO_CLIPFUSE");
+      if (!(noclip && *noclip && std::string(noclip) != "0")) {
+        int fused = FuseClip(im.model.mutable_graph(), &im.weights,
+                             pinned);
+        if (fused && std::getenv("DEEPLAB_ENGINE_PROFILE"))
+          std::fprintf(stderr, "clip-fuse pass: %d Max/Min nodes fused\n",
+                       fused);
       }
     }
   }
