@@ -94,46 +94,62 @@ def _spatial_message(q: jax.Array, kernel: jax.Array,
 
 
 def _bilateral_grid_filter(
-    q: jax.Array, luma: jax.Array, sxy: float, srgb: float,
+    q: jax.Array, color: jax.Array, sxy: float, srgb: float,
     space_step: int, n_bins: int,
 ) -> jax.Array:
-    """Raw (unnormalized) luminance-guided bilateral filter K @ Q of
+    """Raw (unnormalized) color-guided bilateral filter K @ Q of
     (H, W, C) values via a coarse grid: splat → gaussian blur over
-    (gy, gx, bin) → slice. Grid cell sizes are chosen so the reference
-    sigmas become ~2 cells, keeping the blur kernels tiny. Normalization
-    is the caller's job (crf_inference applies the symmetric
-    D^-1/2 K D^-1/2 with D = this filter of ones, computed once per
-    image — pydensecrf's kernel normalization; see crf_exact_dense)."""
+    (gy, gx, *bins) → slice. `color` is (H, W, F): F=1 is the fast
+    luminance-projected grid, F=3 the full-RGB grid whose product-
+    separable color blur matches pydensecrf's exp(-|Δrgb|²/2σ²) kernel
+    with no projection (n_bins applies PER CHANNEL — the composite grid
+    is n_bins**F wide, so rgb wants n_bins≈8). Grid cell sizes are
+    chosen so the reference sigmas become ~2 cells, keeping the blur
+    kernels tiny. Normalization is the caller's job (crf_inference
+    applies the symmetric D^-1/2 K D^-1/2 with D = this filter of ones,
+    computed once per image — pydensecrf's kernel normalization; see
+    crf_exact_dense)."""
     h, w, c = q.shape
+    n_feat = color.shape[-1]
+    nb = n_bins ** n_feat  # composite color-bin count
     gh, gw = h // space_step + 2, w // space_step + 2
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // space_step
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // space_step
-    bins = jnp.clip(
-        (luma / (256.0 / n_bins)).astype(jnp.int32), 0, n_bins - 1
-    )
+    bins_f = jnp.clip(
+        (color / (256.0 / n_bins)).astype(jnp.int32), 0, n_bins - 1
+    )  # (h, w, F)
+    comp = bins_f[..., 0]
+    for f in range(1, n_feat):
+        comp = comp * n_bins + bins_f[..., f]
 
-    flat_idx = (ys * gw + xs) * n_bins + bins  # (h, w)
-    grid_size = gh * gw * n_bins
+    flat_idx = (ys * gw + xs) * nb + comp  # (h, w)
+    grid_size = gh * gw * nb
 
     # Splat via chunked one-hot matmuls instead of scatter-add: TPU
     # scatters serialize, while (G x P) @ (P x C) rides the MXU. Pixels
     # stream in chunks to bound the one-hot tile. The (position x bin)
     # index is FACTORED: a (chunk, n_pos) spatial one-hot contracts
-    # against bin-masked values (chunk, n_bins*c) — identical result and
-    # FLOPs as the flat (chunk, n_pos*n_bins) one-hot, but n_bins x less
-    # one-hot material. Matmul operands are bf16 (one-hot and bin masks
-    # are exactly representable; Q rounds at ~3 decimal digits, far
-    # inside CRF tolerance — tests/test_crf_parity.py) with f32
-    # accumulation.
+    # against bin-masked values (chunk, nb*c) — identical result and
+    # FLOPs as the flat (chunk, n_pos*nb) one-hot, but nb x less
+    # one-hot material; the composite bin mask is itself the product of
+    # per-channel one-hots. Matmul operands are bf16 (one-hot and bin
+    # masks are exactly representable; Q rounds at ~3 decimal digits,
+    # far inside CRF tolerance — tests/test_crf_parity.py) with f32
+    # accumulation. Chunk size shrinks with nb to bound the (chunk,
+    # nb*c) bf16 tile at ~44 MB.
     pos = (ys * gw + xs).reshape(-1)
     n_pix = pos.shape[0]
     n_pos = gh * gw
     chunk = 8192
+    while chunk > 256 and chunk * nb * c * 2 > 48e6:
+        chunk //= 2
     n_chunks = -(-n_pix // chunk)
     pad = n_chunks * chunk - n_pix
     pos_p = jnp.pad(pos, (0, pad), constant_values=n_pos)  # spill row
-    bins_p = jnp.pad(bins.reshape(-1), (0, pad))
+    bins_p = jnp.pad(
+        bins_f.reshape(-1, n_feat), ((0, pad), (0, 0))
+    )
     vals_p = jnp.pad(q.reshape(n_pix, c), ((0, pad), (0, 0)))
 
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_pos), 1)
@@ -142,19 +158,24 @@ def _bilateral_grid_filter(
     def body(carry, inp):
         pos_c, bin_c, val_c = inp
         onehot = (pos_c[:, None] == pos_ids).astype(jnp.bfloat16)
-        binmask = (bin_c[:, None] == bin_ids).astype(jnp.bfloat16)
+        binmask = (bin_c[:, 0][:, None] == bin_ids).astype(jnp.bfloat16)
+        for f in range(1, n_feat):
+            m_f = (bin_c[:, f][:, None] == bin_ids).astype(jnp.bfloat16)
+            binmask = (binmask[:, :, None] * m_f[:, None, :]).reshape(
+                chunk, -1
+            )
         stacked = (
             binmask[:, :, None] * val_c.astype(jnp.bfloat16)[:, None, :]
-        ).reshape(chunk, n_bins * c)
+        ).reshape(chunk, nb * c)
         return carry + jnp.dot(
             onehot.T, stacked, preferred_element_type=jnp.float32
         ), None
 
-    acc0 = jnp.zeros((n_pos, n_bins * c), jnp.float32)
+    acc0 = jnp.zeros((n_pos, nb * c), jnp.float32)
     q_grid, _ = jax.lax.scan(
         body, acc0,
         (pos_p.reshape(n_chunks, chunk),
-         bins_p.reshape(n_chunks, chunk),
+         bins_p.reshape(n_chunks, chunk, n_feat),
          vals_p.reshape(n_chunks, chunk, c)),
     )
 
@@ -185,8 +206,10 @@ def _bilateral_grid_filter(
             out = out + t * _shift(x, i - radius, axis)
         return out
 
-    shaped_q = q_grid.reshape(gh, gw, n_bins, c)
-    for axis, sigma in ((0, s_space), (1, s_space), (2, s_luma)):
+    shaped_q = q_grid.reshape((gh, gw) + (n_bins,) * n_feat + (c,))
+    axes = [(0, s_space), (1, s_space)]
+    axes += [(2 + f, s_luma) for f in range(n_feat)]
+    for axis, sigma in axes:
         shaped_q = blur_axis(shaped_q, sigma, axis)
 
     sliced_q = shaped_q.reshape(grid_size, c)[flat_idx.reshape(-1)]
@@ -198,6 +221,7 @@ def _bilateral_grid_filter(
     static_argnames=(
         "n_iters", "sxy_gaussian", "compat_gaussian", "sxy_bilateral",
         "srgb_bilateral", "compat_bilateral", "space_step", "n_bins",
+        "color_features",
     ),
 )
 def crf_inference(
@@ -210,19 +234,35 @@ def crf_inference(
     srgb_bilateral: float = 13.0,
     compat_bilateral: float = 10.0,
     space_step: int = 16,
-    n_bins: int = 16,
+    n_bins: int | None = None,
+    color_features: str = "luma",
 ) -> jax.Array:
     """Mean-field dense-CRF inference; returns Q (H, W, C).
 
-    space_step/n_bins control the bilateral grid resolution; the
-    defaults sit on the converged plateau of the sensitivity sweep vs
-    the exact dense oracle (tools/misc/crf_parity_study.py, VERDICT r3
-    #4 — see ROUND4_NOTES.md for the measured agreement table)."""
+    color_features picks the bilateral grid's color space:
+      * "luma" (default): 1-D luminance projection — fast (one 3-D
+        grid), and exact whenever the labels' colors separate in
+        luminance; the projection is the only remaining error source
+        at the default grid resolution (measured, ROUND4_NOTES.md).
+      * "rgb": full 3-D color grid (5-D with space) — matches
+        pydensecrf's exp(-|Δrgb|²/2σ²) feature space with NO
+        projection, at ~n_bins²x the splat cost; the exact-parity
+        mode.
+    space_step/n_bins control the grid resolution (n_bins per color
+    channel; default 16 for luma, 8 for rgb — both sit on the converged
+    plateau of the sensitivity sweep vs the exact dense oracle,
+    tools/misc/crf_parity_study.py, VERDICT r3 #4)."""
+    if n_bins is None:
+        n_bins = 16 if color_features == "luma" else 8
     radius = int(np.ceil(3 * sxy_gaussian))
     g_kernel = jnp.asarray(_gaussian_taps1d(sxy_gaussian, radius))
-    luma = (
-        image[..., 0] * 0.299 + image[..., 1] * 0.587 + image[..., 2] * 0.114
-    )
+    if color_features == "rgb":
+        color = image
+    else:
+        color = (
+            image[..., 0] * 0.299 + image[..., 1] * 0.587
+            + image[..., 2] * 0.114
+        )[..., None]
 
     # per-pixel symmetric normalizers 1/sqrt(K @ 1) — constant across
     # mean-field iterations, computed once per image
@@ -235,14 +275,14 @@ def crf_inference(
         space_step=space_step, n_bins=n_bins,
     )
     rs_bilat = jax.lax.rsqrt(
-        jnp.maximum(_bilateral_grid_filter(ones1, luma, **grid_kw), 1e-20)
+        jnp.maximum(_bilateral_grid_filter(ones1, color, **grid_kw), 1e-20)
     )
 
     q = jax.nn.softmax(-unary, axis=-1)
     for _ in range(n_iters):
         m_gauss = _spatial_message(q, g_kernel, rs_gauss)
         m_bilat = rs_bilat * _bilateral_grid_filter(
-            q * rs_bilat, luma, **grid_kw
+            q * rs_bilat, color, **grid_kw
         )
         # Potts: penalty for label a = sum_{b != a} message_b
         agg = compat_gaussian * m_gauss + compat_bilateral * m_bilat
