@@ -75,9 +75,45 @@ def log(msg):
 # can hang at interpreter exit while still holding the client. The bench
 # must never turn that into "no result recorded": a global watchdog
 # emits the JSON line with whatever configs completed and hard-exits.
+#
+# Round-4 post-mortem (VERDICT r4 #1): the driver kills the bench at its
+# OWN deadline (<38 min; rc=124) and parses NOTHING from the output tail
+# — checkpoints do not rescue a kill, only a clean rc=0 exit before the
+# driver deadline yields a parsed record. Defense is therefore two-layer:
+#   1. a per-section BUDGETER (_budget_ok) that never STARTS a section
+#      whose cold-cache cost doesn't fit the remaining budget — the bench
+#      finishes early with whatever landed, rc=0;
+#   2. the watchdog as backstop for a single section overrunning its
+#      estimate (wedged tunnel, pathological compile).
+# The default budget is sized WELL under every observed driver deadline
+# and all cost estimates assume a COLD compile cache (freshly provisioned
+# rig — ROUND3_NOTES session-5 finding).
 # ---------------------------------------------------------------------------
+WATCHDOG_DEFAULT_MIN = 20.0
+
 _EMITTED = threading.Event()
 _PARTIAL = {"configs": {}, "peak": None, "n_chips": None, "device": None}
+_DEADLINE = [float("inf")]
+_T0 = [0.0]
+_SKIPPED = []
+
+
+def _remaining_min() -> float:
+    return (_DEADLINE[0] - time.time()) / 60.0
+
+
+def _budget_ok(section: str, est_cold_min: float) -> bool:
+    """Gate a section on its COLD-cache cost estimate vs remaining budget
+    (plus margin for the final emit). Skipping is recorded in the JSON so
+    a thin record is diagnosable. With a warm XLA cache sections run far
+    under their estimates, so later gates naturally admit more sections."""
+    rem = _remaining_min()
+    if rem < est_cold_min + 1.0:
+        log(f"SKIP section {section}: ~{est_cold_min:.0f} min cold-cache "
+            f"estimate vs {rem:.1f} min remaining")
+        _SKIPPED.append(section)
+        return False
+    return True
 
 
 def _exc_line(exc) -> str:
@@ -107,6 +143,10 @@ def _render_result(partial=False):
         "device": _PARTIAL["device"],
         "configs": configs,
     }
+    if _SKIPPED:
+        out["sections_skipped"] = list(_SKIPPED)
+    if _T0[0]:
+        out["elapsed_min"] = round((time.time() - _T0[0]) / 60.0, 1)
     if partial:
         out["watchdog_timeout"] = True
     return out
@@ -691,19 +731,10 @@ def bench_learn(max_epochs=120, target=0.95):
     return float(m.miou), sum(s.epochs for s in stages), secs
 
 
-# Headline matrix, PRIORITY ORDER (round-3 lesson: the driver's budget is
-# shorter than an exhaustive matrix on a cold-cache rig, so the numbers
-# that define the round must land first and a checkpoint line follows
-# every family). train_batch=None → inference only.
-HEADLINE = (
-    ("mobilenetv2_lite", 16),
-    ("xception", 8),
-    ("resnet50", 8),
-    ("mobilenetv2", None),
-)
-# Batch-scaling points after all headlines. xception b32 OOM'd in the
-# round-3 driver run (16 GB v5e HBM), spraying a 100-line allocation dump
-# — killed; its scaling story is b8→b16 (~flat, conv-efficiency-bound).
+# Batch-scaling points, run late (gated per leg). xception b32 OOM'd in
+# the round-3 driver run (16 GB v5e HBM), spraying a 100-line allocation
+# dump — killed; its scaling story is b8→b16 (~flat, conv-efficiency-
+# bound, see ROUND5_NOTES phase rooflines).
 SCALING = {
     "mobilenetv2_lite": (32, 64),
     "xception": (16,),
@@ -751,24 +782,90 @@ def _train_point(mt, batch, peak, n_chips, **kw):
     return ips, point
 
 
+def _headline_family(configs, mt, train_batch, peak, n_chips):
+    """Inference b1+b8 legs plus (if train_batch) the full jitted train
+    step throughput + MFU for one model family."""
+    e = configs.setdefault(mt, {})
+    try:
+        _infer_legs(e, mt, peak)
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        e["infer_error"] = _exc_line(exc)
+    if train_batch is None:
+        return
+    log(f"train {mt} b{train_batch} ...")
+    try:
+        ips, point = _train_point(mt, train_batch, peak, n_chips)
+        e["train_batch"] = train_batch
+        e["train_images_per_sec_per_chip"] = point["images_per_sec_per_chip"]
+        if "mfu" in point:
+            e["train_mfu"] = point["mfu"]
+        base_ms = BASELINE_INFER_MS.get(mt)
+        if base_ms:
+            # ESTIMATED reference train throughput (it never published
+            # one): train_ms ≈ 3x its published infer ms — keep labeled
+            # ESTIMATED wherever this number is quoted (VERDICT r4 #8)
+            est_ref_ips = 1000.0 / (3.0 * base_ms)
+            e["est_tf_reference_train_ips"] = round(est_ref_ips, 2)
+            e["train_speedup_vs_est_tf"] = round(ips / est_ref_ips, 1)
+        e.setdefault("train_scaling", {})[f"b{train_batch}"] = point
+        log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        e["train_error"] = _exc_line(exc)
+
+
+def _int8_leg(configs, mt, batch):
+    log(f"int8 {mt} b{batch} ...")
+    try:
+        ms = bench_int8(mt, batch=batch)
+        configs.setdefault(mt, {})[f"int8_b{batch}_ms_per_img"] = round(ms, 3)
+        log(f"  {ms:.3f} ms/img")
+    except Exception as exc:
+        log(f"  failed: {_exc_line(exc)}")
+        configs.setdefault(mt, {})[f"int8_b{batch}_error"] = _exc_line(exc)
+
+
+def _transfer_bandwidth_gbps() -> float:
+    """host->device transfer bandwidth of one training batch (8 x 512^2
+    uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that bounds
+    cli_train on this rig (a real TPU host pays PCIe/DMA here)."""
+    batch_bytes = 8 * 512 * 512 * 3 + 8 * 512 * 512
+    host_buf = np.zeros(batch_bytes, np.uint8)
+    jax.block_until_ready(jax.device_put(host_buf))  # warm path
+    bw = []
+    for i in range(3):
+        host_buf[i] = i  # defeat any content caching
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_buf)
+        np.asarray(dev[-1])  # value fetch = real sync
+        bw.append(batch_bytes / (time.perf_counter() - t0) / 1e9)
+    return float(np.median(bw))
+
+
 def main():
     # one-time-per-rig compiles (steady-state timings are unaffected —
     # the cached executable is bit-identical; only compile walls shrink)
     from deeplabv3p_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # Whole-run budget: emit partial results + hard-exit rather than let
-    # the DRIVER's budget kill us with nothing on stdout (round 3: the
-    # 150-min default outlived the driver → rc=124, no JSON). 38 min
-    # undercuts every observed driver budget; checkpoints below make even
-    # a driver-side kill recoverable from the output tail.
-    budget_min = float(os.environ.get("DEEPLAB_BENCH_WATCHDOG_MIN", "38"))
+    # Whole-run budget (VERDICT r4 #1): r3 AND r4 both ended rc=124 with
+    # parsed:null — the driver's own deadline (<38 min) killed the bench
+    # and ignored the checkpoint tail. Only finishing with rc=0 counts.
+    # 20 min undercuts every observed driver deadline; the per-section
+    # budgeter below never starts a section whose cold-cache estimate
+    # doesn't fit, so the run ENDS before the watchdog is ever needed.
+    budget_min = float(os.environ.get(
+        "DEEPLAB_BENCH_WATCHDOG_MIN", str(WATCHDOG_DEFAULT_MIN)
+    ))
+    _T0[0] = time.time()
+    _DEADLINE[0] = _T0[0] + budget_min * 60
     watchdog = threading.Timer(budget_min * 60, _watchdog_fire)
     watchdog.daemon = True
     watchdog.start()
 
     devices = _init_devices_with_retry(
-        max_wait_min=min(45.0, budget_min / 2)
+        max_wait_min=min(10.0, budget_min / 2)
     )
     n_chips = jax.device_count()
     peak = chip_peak_flops()
@@ -778,52 +875,57 @@ def main():
     _PARTIAL.update(
         peak=peak, n_chips=n_chips, device=str(devices[0])
     )
-    # remat/fused train legs: ON by default since the round-4 on-rig
-    # probe (tools/misc/round4_probe.py, /tmp/round4_probe.log) proved
-    # their compiles fit the budget — every lever leg completed in
-    # 115-290 s wall INCLUDING its cold compile (the fused kernel's old
-    # 21-class unroll was the ~20-min offender; the fori_loop rewrite
-    # fixed it, and per-block remat compiles fine where whole-backbone
-    # remat never finished — CLAUDE.md rule 12).
     with_remat = _flag("DEEPLAB_BENCH_REMAT", "1")
     with_fused = _flag("DEEPLAB_BENCH_FUSED", "1")
 
-    # ---- section 1: headline legs, most important family first --------
-    for mt, train_batch in HEADLINE:
-        e = configs.setdefault(mt, {})
-        try:
-            _infer_legs(e, mt, peak)
-        except Exception as exc:
-            log(f"  failed: {_exc_line(exc)}")
-            e["infer_error"] = _exc_line(exc)
-        if train_batch is not None:
-            log(f"train {mt} b{train_batch} ...")
-            try:
-                ips, point = _train_point(mt, train_batch, peak, n_chips)
-                e["train_batch"] = train_batch
-                e["train_images_per_sec_per_chip"] = point[
-                    "images_per_sec_per_chip"
-                ]
-                if "mfu" in point:
-                    e["train_mfu"] = point["mfu"]
-                base_ms = BASELINE_INFER_MS.get(mt)
-                if base_ms:
-                    # ESTIMATED reference train throughput (it never
-                    # published one): train_ms ≈ 3x its published infer ms
-                    est_ref_ips = 1000.0 / (3.0 * base_ms)
-                    e["est_tf_reference_train_ips"] = round(est_ref_ips, 2)
-                    e["train_speedup_vs_est_tf"] = round(ips / est_ref_ips, 1)
-                e.setdefault("train_scaling", {})[f"b{train_batch}"] = point
-                log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
-            except Exception as exc:
-                log(f"  failed: {_exc_line(exc)}")
-                e["train_error"] = _exc_line(exc)
+    # Cold-cache section cost estimates (minutes), sized from the round-4
+    # driver run's section walls (BENCH_r04 tail reached remat/scaling
+    # inside <38 min on a cold rig) with headroom. Sections run in
+    # PRIORITY order; each gate compares its estimate to the remaining
+    # budget and skips (recorded in sections_skipped) when it can't
+    # finish — never start a section you can't finish.
+
+    # ---- section 1: PRIMARY family — the metric line (ungated) --------
+    _headline_family(configs, "mobilenetv2_lite", 16, peak, n_chips)
+    _checkpoint("headline:mobilenetv2_lite")
+
+    # ---- section 2: int8 primary leg (promoted — VERDICT r4 #2: never
+    # yet landed in a parsed driver record) ------------------------------
+    if _budget_ok("int8:mobilenetv2_lite_b8", 2.5):
+        _int8_leg(configs, "mobilenetv2_lite", 8)
+        _checkpoint("int8:mobilenetv2_lite_b8")
+
+    # ---- section 3: remaining train-bearing headline families ---------
+    for mt, train_batch in (("xception", 8), ("resnet50", 8)):
+        if not _budget_ok(f"headline:{mt}", 4.5):
+            break
+        _headline_family(configs, mt, train_batch, peak, n_chips)
         _checkpoint(f"headline:{mt}")
 
-    # ---- section 1b: the remaining published-baseline rows ------------
-    # (BASELINE.md lists six reference latencies; headline covers three —
-    # these inference-only legs close the table)
-    for mt in ("mobilenetv3large", "peleenet_lite", "mobilenetv3small_lite"):
+    # ---- section 4: cli_train end-to-end host pipeline (promoted —
+    # VERDICT r4 #2; includes the device_cache path) ---------------------
+    if _budget_ok("cli_train", 5.5):
+        log("host->device transfer bandwidth ...")
+        try:
+            transfer_gbps = _transfer_bandwidth_gbps()
+            log(f"  {transfer_gbps:.3f} GB/s")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            transfer_gbps = 0.0
+        log("cli pipeline (on-disk JPEG -> fused train step) ...")
+        try:
+            _run_cli_pipeline(configs, transfer_gbps)
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs["cli_train"] = {"error": _exc_line(exc)}
+        _checkpoint("cli_train")
+
+    # ---- section 5: remaining published-baseline rows (BASELINE.md
+    # lists six reference latencies; headline covers three) --------------
+    for mt in ("mobilenetv2", "mobilenetv3large", "peleenet_lite",
+               "mobilenetv3small_lite"):
+        if not _budget_ok(f"baseline:{mt}", 2.0):
+            break
         e = configs.setdefault(mt, {})
         try:
             _infer_legs(e, mt, peak)
@@ -832,133 +934,138 @@ def main():
             e["infer_error"] = _exc_line(exc)
         _checkpoint(f"baseline:{mt}")
 
-    # ---- section 2: OS8 — the memory-hard config (SURVEY §7) ----------
-    try:
-        log("inference b1 xception OS8 ...")
-        ms, _, gflops = bench_inference(
-            "xception", iters=25, output_stride=8
-        )
-        configs.setdefault("xception", {}).update({
-            "os8_infer_b1_ms": round(ms, 3),
-            "os8_fwd_gflops": round(gflops, 2),
-            "os8_infer_b1_mfu": _mfu(gflops, ms, peak) if gflops else None,
-        })
-        log(f"  {ms:.3f} ms")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs.setdefault("xception", {})["os8_infer_error"] = (
-            _exc_line(exc)
-        )
-    _checkpoint("os8")
+    # ---- section 6: cheap, high-information legs ------------------------
+    if _budget_ok("eval_fused", 1.5):
+        log("fused eval step throughput ...")
+        try:
+            eval_ips = bench_eval_throughput()
+            configs["eval_fused"] = {
+                "model": "mobilenetv2_lite", "batch": 8,
+                "images_per_sec": round(eval_ips, 1),
+                "note": "uint8->normalize->forward->argmax->one-hot-matmul "
+                        "confusion in ONE XLA program",
+            }
+            log(f"  {eval_ips:.1f} img/s")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs["eval_fused"] = {"error": _exc_line(exc)}
+        _checkpoint("eval_fused")
 
-    # ---- section 2c: cheap, high-information legs BEFORE the expensive
-    # train matrices (the 38-min watchdog cut these from a run whose
-    # lever+scaling sections ran long — headline-first ordering applies
-    # within the run too) -----------------------------------------------
-    log("fused eval step throughput ...")
-    try:
-        eval_ips = bench_eval_throughput()
-        configs["eval_fused"] = {
-            "model": "mobilenetv2_lite", "batch": 8,
-            "images_per_sec": round(eval_ips, 1),
-            "note": "uint8->normalize->forward->argmax->one-hot-matmul "
-                    "confusion in ONE XLA program",
-        }
-        log(f"  {eval_ips:.1f} img/s")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["eval_fused"] = {"error": _exc_line(exc)}
-    _checkpoint("eval_fused")
-
-    log("dense-CRF postprocess on device ...")
-    try:
-        crf_ms = bench_crf()
-        configs["crf_postprocess"] = {
-            "input": 512, "num_classes": 21, "n_iters": 5,
-            "ms_per_image": round(crf_ms, 3),
-            "note": "reference runs this on the host CPU via pydensecrf "
-                    "(postprocess_np.py:10-28, the pipeline's CPU hot "
-                    "spot, typically O(1 s)/image at this size); no "
-                    "in-env baseline is measurable (pydensecrf not "
-                    "installable)",
-        }
-        log(f"  {crf_ms:.3f} ms/image")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["crf_postprocess"] = {"error": _exc_line(exc)}
-    _checkpoint("crf_postprocess")
-
-    log("learning proof (overfit example/ pairs, score with eval) ...")
-    try:
-        miou, epochs, secs = bench_learn()
-        configs["learn"] = {
-            "model": "mobilenetv2", "input": 256, "epochs": epochs,
-            "train_miou": round(miou, 4), "target": 0.95,
-            "train_seconds": round(secs, 1),
-            "reached_target": bool(miou >= 0.95),
-        }
-        log(f"  train mIOU {miou:.4f} after {epochs} epochs ({secs:.0f}s)")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["learn"] = {"error": _exc_line(exc)}
-    _checkpoint("learn")
+    if _budget_ok("crf_postprocess", 2.5):
+        log("dense-CRF postprocess on device ...")
+        try:
+            crf_ms = bench_crf()
+            configs["crf_postprocess"] = {
+                "input": 512, "num_classes": 21, "n_iters": 5,
+                "ms_per_image": round(crf_ms, 3),
+                "note": "true-RGB bilateral grid (postprocess.py); the "
+                        "reference runs CRF on the host CPU via pydensecrf "
+                        "(postprocess_np.py:10-28, the pipeline's CPU hot "
+                        "spot, typically O(1 s)/image at this size); no "
+                        "in-env baseline is measurable (pydensecrf not "
+                        "installable)",
+            }
+            log(f"  {crf_ms:.3f} ms/image")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs["crf_postprocess"] = {"error": _exc_line(exc)}
+        _checkpoint("crf_postprocess")
 
     # host-CPU only; a cold rig pays a one-time binary build + onnx
     # export here (cached under ~/.cache afterwards)
-    log("native C++ onnx engine invoke (512x512x21 fp32, 1 thread) ...")
-    try:
-        native_ms = bench_native_cli()
-        configs["native_cli"] = {
-            "model": "mobilenetv2_lite", "input": 512, "engine": "onnx",
-            "threads": 1, "invoke_ms": round(native_ms, 1),
-            "reference_tflite_ms_4thread": 428.07,
-            "reference_mnn_ms_4thread": 111.68,
-            "note": "pure-C++ opset-13 interpreter "
-                    "(inference/onnx_engine.cc), zero Python/TF at "
-                    "runtime; reference inference/README.md:137,301",
-        }
-        log(f"  {native_ms:.1f} ms/invoke")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["native_cli"] = {"error": _exc_line(exc)}
-    _checkpoint("native_cli")
+    if _budget_ok("native_cli", 6.0):
+        log("native C++ onnx engine invoke (512x512x21 fp32, 1 thread) ...")
+        try:
+            native_ms = bench_native_cli()
+            configs["native_cli"] = {
+                "model": "mobilenetv2_lite", "input": 512, "engine": "onnx",
+                "threads": 1, "invoke_ms": round(native_ms, 1),
+                "reference_tflite_ms_4thread": 428.07,
+                "reference_mnn_ms_4thread": 111.68,
+                "note": "pure-C++ opset-13 interpreter "
+                        "(inference/onnx_engine.cc), zero Python/TF at "
+                        "runtime; reference inference/README.md:137,301",
+            }
+            log(f"  {native_ms:.1f} ms/invoke")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs["native_cli"] = {"error": _exc_line(exc)}
+        _checkpoint("native_cli")
 
-    # ---- section 2b: the two MFU levers at each headline batch --------
-    # (after every base headline so a pathological remote compile cannot
-    # eat the round's record; remat='block' = per-block jax.checkpoint,
-    # fused_loss = the Pallas upsample+CE tail)
-    for label, flag, kw in (
-        # fused first: it's the measured WIN lever (xception); remat is
-        # the measured-negative documentation leg (round4_probe{,2}.log)
-        ("fused_loss", with_fused, {"fused_loss": True}),
-        ("remat_block", with_remat, {"remat": "block"}),
-    ):
-        if not flag:
-            continue
-        for mt, train_batch in HEADLINE:
-            if train_batch is None:
-                continue
-            e = configs.setdefault(mt, {})
-            log(f"train {mt} b{train_batch} {label} ...")
-            key = f"b{train_batch}_{label}"
-            try:
-                ips, point = _train_point(
-                    mt, train_batch, peak, n_chips, **kw
-                )
-                e.setdefault("train_scaling", {})[key] = point
-                log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
-            except Exception as exc:
-                log(f"  failed: {_exc_line(exc)}")
-                e.setdefault("train_scaling", {})[key] = {
-                    "error": _exc_line(exc)
-                }
-            _checkpoint(f"{label}:{mt}")
+    if _budget_ok("learn", 3.5):
+        log("learning proof (overfit example/ pairs, score with eval) ...")
+        try:
+            miou, epochs, secs = bench_learn()
+            configs["learn"] = {
+                "model": "mobilenetv2", "input": 256, "epochs": epochs,
+                "train_miou": round(miou, 4), "target": 0.95,
+                "train_seconds": round(secs, 1),
+                "reached_target": bool(miou >= 0.95),
+            }
+            log(f"  train mIOU {miou:.4f} after {epochs} epochs "
+                f"({secs:.0f}s)")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs["learn"] = {"error": _exc_line(exc)}
+        _checkpoint("learn")
 
-    # ---- section 3: batch-scaling study -------------------------------
+    # ---- section 7: OS8 — the memory-hard config (SURVEY §7) ----------
+    if _budget_ok("os8", 2.0):
+        try:
+            log("inference b1 xception OS8 ...")
+            ms, _, gflops = bench_inference(
+                "xception", iters=25, output_stride=8
+            )
+            configs.setdefault("xception", {}).update({
+                "os8_infer_b1_ms": round(ms, 3),
+                "os8_fwd_gflops": round(gflops, 2),
+                "os8_infer_b1_mfu": _mfu(gflops, ms, peak) if gflops
+                else None,
+            })
+            log(f"  {ms:.3f} ms")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            configs.setdefault("xception", {})["os8_infer_error"] = (
+                _exc_line(exc)
+            )
+        _checkpoint("os8")
+
+    # ---- section 8: MFU lever legs -------------------------------------
+    # fused_loss on the two families where it matters (xception = the
+    # measured WIN, mnv2-lite = the primary); remat demoted to ONE
+    # documentation leg (measured negative three rounds running —
+    # VERDICT r4 #2 prescribes demoting it)
+    lever_legs = []
+    if with_fused:
+        lever_legs += [("fused_loss", "xception", 8, {"fused_loss": True}),
+                       ("fused_loss", "mobilenetv2_lite", 16,
+                        {"fused_loss": True})]
+    if with_remat:
+        lever_legs += [("remat_block", "xception", 8, {"remat": "block"})]
+    for label, mt, train_batch, kw in lever_legs:
+        if not _budget_ok(f"{label}:{mt}", 3.0):
+            break
+        e = configs.setdefault(mt, {})
+        log(f"train {mt} b{train_batch} {label} ...")
+        key = f"b{train_batch}_{label}"
+        try:
+            ips, point = _train_point(mt, train_batch, peak, n_chips, **kw)
+            e.setdefault("train_scaling", {})[key] = point
+            log(f"  {ips:.1f} img/s/chip (mfu {point.get('mfu')})")
+        except Exception as exc:
+            log(f"  failed: {_exc_line(exc)}")
+            e.setdefault("train_scaling", {})[key] = {
+                "error": _exc_line(exc)
+            }
+        _checkpoint(f"{label}:{mt}")
+
+    # ---- section 9: batch-scaling study --------------------------------
     for mt, batches in SCALING.items():
         e = configs.setdefault(mt, {})
         scaling = e.setdefault("train_scaling", {})
         for batch in batches:
+            if not _budget_ok(f"scaling:{mt}_b{batch}", 2.5):
+                break
             log(f"train {mt} b{batch} ...")
             try:
                 ips, point = _train_point(mt, batch, peak, n_chips)
@@ -967,49 +1074,15 @@ def main():
             except Exception as exc:
                 log(f"  failed: {_exc_line(exc)}")
                 scaling[f"b{batch}"] = {"error": _exc_line(exc)}
-    _checkpoint("scaling")
+            _checkpoint(f"scaling:{mt}_b{batch}")
 
-    # ---- section 4: int8 on the MXU (win or documented negative) ------
-    for mt in ("mobilenetv2_lite", "xception"):
-        for batch in (1, 8):
-            log(f"int8 {mt} b{batch} ...")
-            try:
-                ms = bench_int8(mt, batch=batch)
-                configs[mt][f"int8_b{batch}_ms_per_img"] = round(ms, 3)
-                log(f"  {ms:.3f} ms/img")
-            except Exception as exc:
-                log(f"  failed: {_exc_line(exc)}")
-                configs[mt][f"int8_b{batch}_error"] = _exc_line(exc)
-    _checkpoint("int8")
-
-    # host->device transfer bandwidth of one training batch (8 x 512^2
-    # uint8 + labels ~= 8.4 MB): quantifies the tunnel residual that
-    # bounds cli_train on this rig (a real TPU host pays PCIe/DMA here)
-    log("host->device transfer bandwidth ...")
-    try:
-        batch_bytes = 8 * 512 * 512 * 3 + 8 * 512 * 512
-        host_buf = np.zeros(batch_bytes, np.uint8)
-        jax.block_until_ready(jax.device_put(host_buf))  # warm path
-        bw = []
-        for i in range(3):
-            host_buf[i] = i  # defeat any content caching
-            t0 = time.perf_counter()
-            dev = jax.device_put(host_buf)
-            np.asarray(dev[-1])  # value fetch = real sync
-            bw.append(batch_bytes / (time.perf_counter() - t0) / 1e9)
-        transfer_gbps = float(np.median(bw))
-        log(f"  {transfer_gbps:.3f} GB/s")
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        transfer_gbps = 0.0
-
-    log("cli pipeline (on-disk JPEG -> fused train step) ...")
-    try:
-        _run_cli_pipeline(configs, transfer_gbps)
-    except Exception as exc:
-        log(f"  failed: {_exc_line(exc)}")
-        configs["cli_train"] = {"error": _exc_line(exc)}
-    _checkpoint("cli_train")
+    # ---- section 10: remaining int8 legs -------------------------------
+    for mt, batch in (("mobilenetv2_lite", 1), ("xception", 1),
+                      ("xception", 8)):
+        if not _budget_ok(f"int8:{mt}_b{batch}", 2.0):
+            break
+        _int8_leg(configs, mt, batch)
+        _checkpoint(f"int8:{mt}_b{batch}")
 
     _emit()
     # exceptions/atexit teardown against a dead tunnel can hang the
