@@ -1754,8 +1754,19 @@ int FuseClip(pb::GraphProto* g,
       if (cit == weights->end() || cit->second.dt != DT::F32 ||
           cit->second.numel() != 1)
         break;
-      if (op == "Max") lo = std::max(lo, cit->second.f[0]);
-      else hi = std::min(hi, cit->second.f[0]);
+      // clamp(lo,hi) only reproduces the SEQUENTIAL Max/Min chain while
+      // lo <= hi: e.g. Min(0.5) then Max(1.0) yields 1.0 unfused but
+      // clamp would yield 0.5 — stop before the bounds go degenerate
+      // (unreachable from the exporter's ReLU/ReLU6 patterns, but the
+      // pass accepts arbitrary graphs; ADVICE r4)
+      const float c = cit->second.f[0];
+      if (op == "Max") {
+        if (std::max(lo, c) > hi) break;
+        lo = std::max(lo, c);
+      } else {
+        if (std::min(hi, c) < lo) break;
+        hi = std::min(hi, c);
+      }
       chain.push_back(j);
       cur = n.output(0);
     }
