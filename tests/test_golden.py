@@ -26,8 +26,13 @@ REPO = os.path.dirname(HERE)
 EXAMPLE = os.path.join(REPO, "example")
 FIXTURE_MASK = os.path.join(HERE, "fixtures", "golden_voc_mask.npz")
 FIXTURE_METRICS = os.path.join(HERE, "fixtures", "golden_voc_metrics.json")
+FIXTURE_DEMO = os.path.join(HERE, "fixtures", "golden_demo_masks.json")
 
 IMAGE_IDS = ["2007_000039", "2007_000346"]
+# 3 of the reference's 12 vendored demo assets (reference example/,
+# cited by its inference/README.md:104) — the demo-CLI golden set
+# (VERDICT r4 #5)
+DEMO_IDS = ["air", "dog", "person"]
 
 
 def test_voc_palette_label_decode():
@@ -133,6 +138,85 @@ def test_golden_eval_metrics_pinned(deeplab_voc, tmp_path):
         assert got[k] == pytest.approx(v, abs=1e-6), (k, got[k], v)
 
 
+def _demo_mask_record(mask, class_names):
+    import hashlib
+
+    return {
+        "sha256": hashlib.sha256(
+            np.ascontiguousarray(mask.astype(np.uint8)).tobytes()
+        ).hexdigest(),
+        "shape": list(mask.shape),
+        "classes": sorted({class_names[c] for c in np.unique(mask)}),
+    }
+
+
+def test_golden_demo_masks_pinned(deeplab_voc):
+    """Exact predicted masks + detected-class lists on the reference's
+    demo images (reference deeplab.py:81-109 flow) with fixed seeded
+    weights — the demo-CLI golden set (VERDICT r4 #5)."""
+    if not os.path.exists(FIXTURE_DEMO):
+        pytest.skip("fixture missing — run `python tests/test_golden.py regen`")
+    with open(FIXTURE_DEMO) as f:
+        golden = json.load(f)
+    for image_id in DEMO_IDS:
+        mask = _predict_origin_mask(deeplab_voc, image_id)
+        got = _demo_mask_record(mask, deeplab_voc.class_names)
+        assert got == golden[image_id], (image_id, got, golden[image_id])
+
+
+def test_demo_cli_end_to_end(deeplab_voc, tmp_path):
+    """Drive the real `deeplab.py` CLI (subprocess, batch image mode) on
+    the demo images with the golden seeded weights saved as a .ckpt, and
+    require its saved overlays to be pixel-identical to the overlay of
+    the PINNED golden mask — ties the CLI path (arg parsing, ckpt load,
+    piped-filename loop, overlay save; reference deeplab.py:175-185) to
+    the golden fixtures end-to-end."""
+    import shutil
+    import subprocess
+    import sys
+
+    if not os.path.exists(FIXTURE_DEMO):
+        pytest.skip("fixture missing — run `python tests/test_golden.py regen`")
+    from deeplabv3p_tpu.utils.checkpoint import save_variables
+    from deeplabv3p_tpu.utils.visualize import visualize_segmentation
+
+    ckpt = str(tmp_path / "golden.ckpt")
+    save_variables(ckpt, deeplab_voc.variables)
+    # feed PNG-named copies so the CLI's basename-derived outputs are
+    # saved LOSSLESSLY (PIL picks the format from the extension)
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    stdin_lines = []
+    for image_id in DEMO_IDS:
+        dst = in_dir / f"{image_id}.png"
+        shutil.copy(os.path.join(EXAMPLE, image_id + ".jpg"), dst)
+        stdin_lines.append(str(dst))
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "deeplab.py"),
+         "--model_type", "mobilenetv2_lite",
+         "--classes_path", os.path.join(REPO, "configs", "voc_classes.txt"),
+         "--model_input_shape", "512",
+         "--weights_path", ckpt,
+         "--image", "--output", str(out_dir),
+         "--device", "cpu"],  # subprocess inherits no conftest config
+        input="\n".join(stdin_lines) + "\n",
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for image_id in DEMO_IDS:
+        saved = np.asarray(Image.open(out_dir / f"{image_id}.png"))
+        image = Image.open(os.path.join(EXAMPLE, image_id + ".jpg"))
+        mask = _predict_origin_mask(deeplab_voc, image_id)
+        want = visualize_segmentation(
+            np.array(image), mask, class_names=deeplab_voc.class_names
+        )
+        assert saved.shape == want.shape, (image_id, saved.shape, want.shape)
+        assert np.array_equal(saved, want), (
+            f"{image_id}: CLI overlay diverged from the golden mask's "
+            f"overlay ({(saved != want).mean():.4%} of pixels)"
+        )
+
+
 def test_gt_as_prediction_gives_perfect_miou(tmp_path):
     """Independent oracle for the eval machinery: feeding the GT labels
     through the confusion-matrix path must give mIoU == PixelAcc == 1
@@ -183,6 +267,16 @@ def _regen():
              for i in IMAGE_IDS}
     np.savez_compressed(FIXTURE_MASK, **masks)
     print("wrote", FIXTURE_MASK, {k: v.shape for k, v in masks.items()})
+
+    demo = {
+        i: _demo_mask_record(
+            _predict_origin_mask(deeplab, i), deeplab.class_names
+        )
+        for i in DEMO_IDS
+    }
+    with open(FIXTURE_DEMO, "w") as f:
+        json.dump(demo, f, indent=1)
+    print("wrote", FIXTURE_DEMO, demo)
 
     with tempfile.TemporaryDirectory() as td:
         m = _run_eval(deeplab, _eval_dataset(td))

@@ -25,7 +25,11 @@ def main():
     p.add_argument("--input_shape", type=int, default=512)
     p.add_argument("--count", type=int, default=8)
     p.add_argument("--num_classes", type=int, default=21)
+    from deeplabv3p_tpu.utils.device import add_device_arg, apply_device_arg
+
+    add_device_arg(p)
     args = p.parse_args()
+    apply_device_arg(args)  # spawned CLIs must honor --device cpu
 
     import jax
     import jax.numpy as jnp
