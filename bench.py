@@ -324,7 +324,7 @@ def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
 
 def bench_train_throughput(model_type: str, hw=512, batch=16,
                            num_classes=21, iters=10, fused_loss=False,
-                           remat=False):
+                           remat=False, state_dtype=None):
     """Returns (images/sec/chip, step GFLOPs) for the full jitted
     fwd+bwd+optimizer+metrics step. fused_loss routes the loss tail
     through the Pallas upsample+CE kernel (ops/pallas/upsample_ce.py);
@@ -348,7 +348,8 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
         fused_loss=fused_loss,
     )
     stage = StageConfig(freeze_level=0, optim_type="sgd", learning_rate=1e-3,
-                        decay_type="cosine", decay_steps=1000)
+                        decay_type="cosine", decay_steps=1000,
+                        state_dtype=state_dtype)
     state, tx = trainer.init_state((hw, hw), stage, batch_size=batch)
     train_step = trainer.compile_train_step(tx, stage)
 

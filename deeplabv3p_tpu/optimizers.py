@@ -79,22 +79,42 @@ def build_optimizer(
     decay_type: Optional[str] = "cosine",
     decay_steps: int = 100000,
     trainable_mask: Optional[Any] = None,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Optimizer factory (reference get_optimizer, model_utils.py:112-130),
     with optional freeze masking.
 
     trainable_mask: bool pytree matching params (True = trainable), from
     `deeplabv3p_tpu.models.factory.make_trainable_mask`.
+
+    state_dtype: storage dtype for the optimizer's first-moment /
+    momentum accumulator ('bfloat16' halves its HBM footprint and
+    read+write traffic per step — an HBM-roofline lever for steps that
+    train_phase_profile shows are bandwidth-bound; update math still
+    runs in f32, only the carried state is cast). Adam's second moment
+    stays f32 (squared-gradient dynamic range does not survive bf16's
+    8-bit mantissa). None keeps full f32 state.
     """
     schedule = get_lr_schedule(learning_rate, decay_type, decay_steps)
     optim_type = optim_type.lower()
+    acc_dtype = None
+    if state_dtype not in (None, "float32", "f32"):
+        acc_dtype = jnp.dtype(state_dtype)
 
     if optim_type == "adam":
-        tx = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-7)
+        tx = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-7,
+                        mu_dtype=acc_dtype)
     elif optim_type == "rmsprop":
+        if acc_dtype is not None:
+            raise ValueError(
+                "state_dtype is not supported for rmsprop (optax's "
+                "scale_by_rms keeps its EMA-of-squares in f32; bf16 "
+                "would lose the accumulator's dynamic range)"
+            )
         tx = optax.rmsprop(schedule, decay=0.9, eps=1e-7, momentum=0.0, centered=False)
     elif optim_type == "sgd":
-        tx = optax.sgd(schedule, momentum=0.9, nesterov=False)
+        tx = optax.sgd(schedule, momentum=0.9, nesterov=False,
+                       accumulator_dtype=acc_dtype)
     else:
         raise ValueError(f"Unsupported optimizer type {optim_type!r}")
 

@@ -69,6 +69,9 @@ class StageConfig:
     # k * batch_size without the activation memory. decay_steps counts
     # APPLIED updates (the inner schedule only advances every k).
     grad_accum: int = 1
+    # storage dtype for the optimizer's momentum/first-moment state
+    # ('bfloat16' halves its HBM traffic — see optimizers.build_optimizer)
+    state_dtype: Optional[str] = None
 
 
 def make_train_step(
@@ -392,6 +395,7 @@ class Trainer:
             decay_type=stage.decay_type,
             decay_steps=stage.decay_steps,
             trainable_mask=mask,
+            state_dtype=stage.state_dtype,
         )
         if stage.grad_accum > 1:
             # mean-of-grads accumulation: params stay fixed for k-1 micro

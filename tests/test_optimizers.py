@@ -98,3 +98,46 @@ def test_sgd_momentum_matches_keras():
         p = optax.apply_updates(p, updates)
     # step1: v=-0.1, p=0.9 ; step2: v=-0.19, p=0.71
     np.testing.assert_allclose(float(p["w"]), 0.71, rtol=1e-6)
+
+
+def test_bf16_state_dtype_sgd():
+    """state_dtype='bfloat16' stores the momentum accumulator in bf16
+    (half the HBM footprint/traffic) while updates track f32 SGD closely
+    — the HBM-roofline lever VERDICT r4 #4 asked to measure."""
+    tx16 = opt.build_optimizer("sgd", 0.1, decay_type=None,
+                               state_dtype="bfloat16")
+    tx32 = opt.build_optimizer("sgd", 0.1, decay_type=None)
+    params = {"w": jnp.linspace(-1.0, 1.0, 64)}
+    s16, s32 = tx16.init(params), tx32.init(params)
+    # momentum ("trace") leaves are bf16
+    traces = [l for l in jax.tree_util.tree_leaves(s16)
+              if hasattr(l, "dtype") and l.shape == (64,)]
+    assert traces and all(l.dtype == jnp.bfloat16 for l in traces)
+    g = {"w": jnp.full((64,), 0.01)}
+    p16, p32 = params, params
+    for _ in range(5):
+        u16, s16 = tx16.update(g, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=0, atol=1e-3)
+
+
+def test_bf16_state_dtype_adam_mu_only():
+    """Adam: first moment bf16, second moment (squared grads) stays f32."""
+    tx = opt.build_optimizer("adam", 1e-3, decay_type=None,
+                             state_dtype="bfloat16")
+    params = {"w": jnp.ones((8,))}
+    state = tx.init(params)
+    leaves = [l for l in jax.tree_util.tree_leaves(state)
+              if hasattr(l, "shape") and l.shape == (8,)]
+    dtypes = sorted(str(l.dtype) for l in leaves)
+    assert dtypes == ["bfloat16", "float32"], dtypes
+
+
+def test_bf16_state_dtype_rmsprop_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="rmsprop"):
+        opt.build_optimizer("rmsprop", 1e-3, decay_type=None,
+                            state_dtype="bfloat16")

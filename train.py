@@ -198,6 +198,7 @@ def main(args):
                 optim_type=args.optimizer, learning_rate=args.learning_rate,
                 decay_type=None, epochs=args.transfer_epoch - args.init_epoch,
                 grad_accum=args.grad_accum,
+                state_dtype=args.optim_state_dtype,
             )
         )
     stages.append(
@@ -208,6 +209,7 @@ def main(args):
             average_type=args.weights_average_type,
             epochs=args.total_epoch - max(args.transfer_epoch, args.init_epoch),
             grad_accum=args.grad_accum,
+            state_dtype=args.optim_state_dtype,
         )
     )
 
@@ -294,6 +296,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--optimizer", default="sgd",
                    choices=["adam", "rmsprop", "sgd"])
+    p.add_argument("--optim_state_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for the optimizer momentum state; "
+                        "bfloat16 halves its HBM traffic (HBM-roofline "
+                        "lever for bandwidth-bound steps; sgd/adam only)")
     p.add_argument("--learning_rate", type=float, default=1e-2)
     p.add_argument("--decay_type", default="cosine",
                    choices=["none", "cosine", "exponential", "polynomial",
