@@ -67,6 +67,27 @@ def test_augment_test_writes_samples(tmp_path):
     assert len(list(out.iterdir())) >= 2
 
 
+def test_train_phase_profile_emits_roofline_json():
+    # ~6 min on the 1-core CI box (7 program compiles) — the price of
+    # covering the roofline tool VERDICT r4 #4 leans on. optim_state_ab
+    # and train_leg share bench.bench_train_throughput (exercised here
+    # via train_step) and their state_dtype plumbing is covered by
+    # tests/test_optimizers.py, so they get no separate subprocess test.
+    import json
+
+    res = _run([
+        "tools/evaluation/train_phase_profile.py",
+        "--model_type", "mobilenetv2_lite",
+        "--batch", "1",
+        "--model_input_shape", "64",
+        "--iters", "1",
+    ], timeout=1200)
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    phases = {r["phase"] for r in out["phases"]}
+    assert {"forward", "grad (fwd+bwd)", "train_step"} <= phases
+    assert "bwd_ms" in out["deltas"]
+
+
 @pytest.mark.parametrize("edge_type", ["sobel", "canny"])
 def test_edge_detect_writes_edge_map(tmp_path, edge_type):
     pytest.importorskip("cv2")

@@ -266,14 +266,27 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    rows, deltas = profile(
-        args.model_type, args.batch, args.model_input_shape,
-        args.num_classes, args.iters,
-    )
-    print(json.dumps({
-        "model_type": args.model_type, "batch": args.batch,
-        "input": args.model_input_shape, "phases": rows, "deltas": deltas,
-    }))
+    try:
+        rows, deltas = profile(
+            args.model_type, args.batch, args.model_input_shape,
+            args.num_classes, args.iters,
+        )
+        print(json.dumps({
+            "model_type": args.model_type, "batch": args.batch,
+            "input": args.model_input_shape, "phases": rows,
+            "deltas": deltas,
+        }))
+    except Exception as exc:  # noqa: BLE001
+        # a raising TPU process can hang the tunneled client for ~45 min
+        # at interpreter exit (CLAUDE.md rule 2) — report and hard-exit
+        print(json.dumps({
+            "model_type": args.model_type,
+            "error": f"{type(exc).__name__}: {exc}",
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
