@@ -231,7 +231,7 @@ def _median_ms(fn, *args, warmup=3, iters=20):
     return float(np.median(times))
 
 
-def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
+def _steady_state_ms(chain_fn, x0, warmup=3, iters=24, compiler_options=None):
     """Honest steady-state ms/step on the tunneled client.
 
     Round-3 finding: through this tunnel `jax.block_until_ready` is
@@ -250,6 +250,12 @@ def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
 
     chain_fn(x) -> (result, next_x) with next_x derived on device
     (result is ignored inside the scan).
+
+    compiler_options (optional dict) is applied to the jit of the scan
+    program — the channel for backend-flag A/B experiments: client-side
+    XLA_FLAGS is parsed by the LOCAL (CPU) XLA build, which fatally
+    rejects TPU-only flags, whereas env_option_overrides ride the
+    serialized compile request to the backend's compiler.
     """
     k = max(4, iters // 2)
 
@@ -258,13 +264,12 @@ def _steady_state_ms(chain_fn, x0, warmup=3, iters=24):
             _, nxt = chain_fn(c)
             return nxt, None
 
-        @jax.jit
         def run(c):
             c2, _ = jax.lax.scan(body, c, None, length=n)
             leaf = jax.tree_util.tree_leaves(c2)[0]
             return jnp.sum(leaf.astype(jnp.float32)), c2
 
-        return run
+        return jax.jit(run, compiler_options=compiler_options)
 
     run_k, run_2k = make(k), make(2 * k)
     # compile + warm both programs (fetch-closed)
@@ -324,7 +329,8 @@ def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
 
 def bench_train_throughput(model_type: str, hw=512, batch=16,
                            num_classes=21, iters=10, fused_loss=False,
-                           remat=False, state_dtype=None):
+                           remat=False, state_dtype=None,
+                           compiler_options=None):
     """Returns (images/sec/chip, step GFLOPs) for the full jitted
     fwd+bwd+optimizer+metrics step. fused_loss routes the loss tail
     through the Pallas upsample+CE kernel (ops/pallas/upsample_ce.py);
@@ -373,7 +379,8 @@ def bench_train_throughput(model_type: str, hw=512, batch=16,
         return m["loss"], (st, imgs + m["loss"] * 1e-12)
 
     ms = _steady_state_ms(chain, (state, images), warmup=3,
-                          iters=max(6, iters))
+                          iters=max(6, iters),
+                          compiler_options=compiler_options)
     return batch / (ms / 1e3), flops / 1e9
 
 

@@ -127,3 +127,28 @@ def test_emit_partial_and_idempotent(bench_mod):
     assert out["value"] is None
     assert out["vs_baseline"] is None
     assert out["watchdog_timeout"] is True
+
+
+def test_steady_state_compiler_options_plumbing(bench_mod):
+    """compiler_options must reach the jit of the scan program — the
+    only channel that carries backend flags to the REMOTE TPU compiler
+    (client-side XLA_FLAGS is parsed by the local CPU XLA build, which
+    fatally rejects TPU-only flags — round-5 finding). On CPU we verify
+    a cpu-legal option compiles and times, and an unknown option raises
+    instead of being silently dropped."""
+    import jax.numpy as jnp
+
+    def chain(x):
+        return x, x + 1.0
+
+    ms = bench_mod._steady_state_ms(
+        chain, jnp.zeros(()), warmup=1, iters=4,
+        compiler_options={"xla_cpu_enable_fast_math": False},
+    )
+    assert ms >= 0.0
+
+    with pytest.raises(Exception, match="compile option"):
+        bench_mod._steady_state_ms(
+            chain, jnp.zeros(()), warmup=1, iters=4,
+            compiler_options={"xla_not_a_real_flag": True},
+        )

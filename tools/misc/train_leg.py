@@ -27,6 +27,15 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no_compile_cache", action="store_true")
     p.add_argument("--device", default=None, help="'cpu' for smoke only")
+    p.add_argument(
+        "--compiler_option", action="append", default=[],
+        metavar="KEY=VALUE",
+        help="XLA backend flag (repeatable), e.g. "
+             "xla_tpu_enable_latency_hiding_scheduler=true. Rides the "
+             "compile request as env_option_overrides — the only channel "
+             "that reaches the REMOTE TPU compiler (client-side XLA_FLAGS "
+             "is parsed by the local CPU XLA build, which fatally rejects "
+             "TPU-only flags).")
     args = p.parse_args()
 
     if args.no_compile_cache:
@@ -42,12 +51,22 @@ def main():
     if not args.no_compile_cache:
         enable_compilation_cache()
 
+    copts = {}
+    for kv in args.compiler_option:
+        key, _, val = kv.partition("=")
+        low = val.lower()
+        copts[key] = (True if low == "true" else
+                      False if low == "false" else
+                      int(val) if val.lstrip("-").isdigit() else val)
+
     out = {"model": args.model, "batch": args.batch,
            "input": args.input,
+           "compiler_options": copts or None,
            "xla_flags": os.environ.get("XLA_FLAGS", "")}
     try:
         ips, gflops = bench.bench_train_throughput(
             args.model, hw=args.input, batch=args.batch, iters=args.iters,
+            compiler_options=copts or None,
         )
         out.update(images_per_sec_per_chip=round(ips, 1),
                    step_gflops=round(gflops, 2))
