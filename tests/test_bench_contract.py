@@ -129,6 +129,82 @@ def test_emit_partial_and_idempotent(bench_mod):
     assert out["watchdog_timeout"] is True
 
 
+def test_adaptive_budget_scale(bench_mod):
+    """Warm-cache adaptivity (round 5): run 4 showed a fully-warm rig
+    completes sections at ~0.64x their cold estimates yet the raw gates
+    still budgeted cold — skipping sections that fit. The scale must (a)
+    stay 1.0 until two sections have started, (b) track the observed
+    actual/estimate ratio of COMPLETED sections, (c) clamp to
+    [_SCALE_MIN, 1.0], and (d) let _budget_ok admit a section the
+    unscaled estimate would reject."""
+    import time as _time
+
+    assert bench_mod._est_scale() == 1.0
+    t = _time.time()
+    # two completed 4-min-estimate sections that actually took 2 min each
+    bench_mod._STARTED[:] = [("s1", 4.0, t - 300), ("s2", 4.0, t - 180),
+                             ("s3", 4.0, t - 60)]
+    # elapsed over completed = (t-60)-(t-300) = 4 min vs est 8 -> 0.5
+    assert bench_mod._est_scale() == pytest.approx(0.5)
+
+    # clamping: absurdly fast sections floor at _SCALE_MIN
+    bench_mod._STARTED[:] = [("s1", 40.0, t - 70), ("s2", 40.0, t - 60),
+                             ("s3", 40.0, t - 50)]
+    assert bench_mod._est_scale() == bench_mod._SCALE_MIN
+    # slower than estimate never inflates past the cold estimate
+    bench_mod._STARTED[:] = [("s1", 1.0, t - 600), ("s2", 1.0, t - 60)]
+    assert bench_mod._est_scale() == 1.0
+
+    # (d): 5 min remaining, cold estimate 8 min -> rejected unscaled,
+    # admitted at the observed 0.5 ratio (scaled est 4 + 1 margin <= 5)
+    bench_mod._STARTED[:] = [("s1", 4.0, t - 300), ("s2", 4.0, t - 180),
+                             ("s3", 4.0, t - 60)]
+    bench_mod._DEADLINE[0] = t + 5.2 * 60
+    assert bench_mod._budget_ok("fits_warm", 8.0) is True
+    assert bench_mod._SKIPPED == []
+    # and the admitted section was registered for future scaling
+    assert bench_mod._STARTED[-1][0] == "fits_warm"
+
+
+def test_compiled_flops_memo(bench_mod, tmp_path, monkeypatch):
+    """FLOPs memoization (round 5): the AOT lower().compile() in
+    _compiled_flops is NOT served by the persistent executable cache —
+    a warm rig paid 224 s per infer leg recompiling identical programs
+    just for cost analysis. The memo keys on the sha of the JAXPR
+    pretty-print (structure+shapes; closed-over weights appear by name,
+    not value — the lowered HLO text inlines weight blobs and took >13
+    min to stringify for xception). Hit must skip compilation entirely
+    and return the identical value; different programs get different
+    keys."""
+    import jax
+    import jax.numpy as jnp
+
+    memo_file = tmp_path / "flops_cache.json"
+    monkeypatch.setattr(bench_mod, "_flops_cache_path",
+                        lambda: str(memo_file))
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    @jax.jit
+    def g(x):
+        return (x @ x @ x).sum()
+
+    x = jnp.ones((32, 32), jnp.float32)
+    v1 = bench_mod._compiled_flops(f, x)
+    assert v1 > 0
+    memo = json.loads(memo_file.read_text())
+    assert len(memo) == 1
+
+    v2 = bench_mod._compiled_flops(f, x)
+    assert v2 == v1
+
+    v3 = bench_mod._compiled_flops(g, x)
+    assert v3 != v1  # structurally different program, different key
+    assert len(json.loads(memo_file.read_text())) == 2
+
+
 def test_steady_state_compiler_options_plumbing(bench_mod):
     """compiler_options must reach the jit of the scan program — the
     only channel that carries backend flags to the REMOTE TPU compiler
