@@ -393,9 +393,12 @@ def _steady_state_ms(chain_fn, x0, warmup=3, iters=24, compiler_options=None):
     return float(np.median(diffs))
 
 
-def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
-                    iters=50, output_stride=16):
-    """Returns (steady ms/img, sync p50 ms/call, fwd GFLOPs/img)."""
+def _build_infer_model(model_type: str, hw, batch, num_classes,
+                       output_stride):
+    """(model, variables) for the inference legs — split out so one
+    family's b1/b8 legs share ONE jit(init) (params are batch-shape
+    independent; each init program costs a ~25 s trace+load through the
+    tunnel — round-5 stage probe)."""
     from deeplabv3p_tpu.models.factory import build_deeplab_model
 
     model = build_deeplab_model(
@@ -406,6 +409,18 @@ def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
     t = time.perf_counter()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     log(f"    [stage] init {time.perf_counter() - t:.1f}s")
+    return model, variables
+
+
+def bench_inference(model_type: str, hw=512, batch=1, num_classes=21,
+                    iters=50, output_stride=16, built=None):
+    """Returns (steady ms/img, sync p50 ms/call, fwd GFLOPs/img).
+    `built` (optional) is a prebuilt (model, variables) pair shared
+    across legs of one family."""
+    model, variables = built or _build_infer_model(
+        model_type, hw, batch, num_classes, output_stride
+    )
+    x = jnp.zeros((batch, hw, hw, 3), jnp.float32)
 
     @jax.jit
     def predict(images):
@@ -861,9 +876,10 @@ def _mfu(gflops_per_unit, ms_per_unit, peak) -> float:
     return round((gflops_per_unit / ms_per_unit) / (peak / 1e12), 4)
 
 
-def _infer_legs(entry, mt, peak):
+def _infer_legs(entry, mt, peak, with_b8=True):
+    built = _build_infer_model(mt, 512, 1, 21, 16)
     log(f"inference b1 {mt} ...")
-    ms, sync_ms, gflops = bench_inference(mt, iters=50)
+    ms, sync_ms, gflops = bench_inference(mt, iters=50, built=built)
     entry.update({
         "infer_b1_ms": round(ms, 3),
         "infer_b1_sync_p50_ms": round(sync_ms, 3),
@@ -876,8 +892,10 @@ def _infer_legs(entry, mt, peak):
         entry["speedup_vs_titanxp"] = round(base / ms, 2)
     log(f"  b1 {ms:.3f} ms ({entry.get('speedup_vs_titanxp', '-')}x)")
 
+    if not with_b8:
+        return
     log(f"inference b8 {mt} ...")
-    ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25)
+    ms8, _, gflops8 = bench_inference(mt, batch=8, iters=25, built=built)
     entry["infer_b8_ms_per_img"] = round(ms8, 3)
     entry["infer_b8_images_per_sec"] = round(1000.0 / ms8, 1)
     if gflops8:
@@ -1034,14 +1052,17 @@ def main():
         _checkpoint("cli_train")
 
     # ---- section 5: remaining published-baseline rows (BASELINE.md
-    # lists six reference latencies; headline covers three) --------------
+    # lists six reference latencies; headline covers three). b1-only:
+    # that's the reference comparison point, and each b8 leg costs a
+    # separate ~1.5-min program build/load through the tunnel (b8 values
+    # for these families are pinned in BENCH_r02/ROUND4_NOTES) ----------
     for mt in ("mobilenetv2", "mobilenetv3large", "peleenet_lite",
                "mobilenetv3small_lite"):
         if not _budget_ok(f"baseline:{mt}", 2.0):
             break
         e = configs.setdefault(mt, {})
         try:
-            _infer_legs(e, mt, peak)
+            _infer_legs(e, mt, peak, with_b8=False)
         except Exception as exc:
             log(f"  failed: {_exc_line(exc)}")
             e["infer_error"] = _exc_line(exc)
